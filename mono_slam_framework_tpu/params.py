@@ -1,0 +1,57 @@
+"""SLAM configuration.
+
+Mirrors the reference's ``SlamParameters`` struct (field names and defaults:
+slam_pipeline/include/SlamParameters.h:7-35) and adds the static capacity
+knobs a fixed-shape TPU pipeline needs (padded feature/match/map sizes choose
+the compiled program shapes; they are capacities, not behavioral thresholds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamParameters:
+    # Camera intrinsics (SlamParameters.h:9).
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+
+    # Max/Min frames between keyframe insertions and relocalization checks
+    # (SlamParameters.h:12-13).
+    maxFrames: int = 10
+    minFrames: int = 0
+
+    # Min feature matches required to attempt initialization
+    # (SlamParameters.h:16).
+    minIniMatchCount: int = 25
+
+    # Min feature matches for local tracking / lost check (SlamParameters.h:19).
+    minLocalMatchCount: int = 15
+
+    # Min keyframes in the map before a lost track triggers relocalization
+    # instead of a full reset (SlamParameters.h:22).
+    minimumKeyFrames: int = 5
+
+    # Loop closing (SlamParameters.h:28-30).
+    loopDetectionMaxFrames: int = 5
+    minNumMPMatches: int = 15
+
+    # Minimum parallax (cosine bound used for triangulation gating,
+    # SlamParameters.h:34).
+    minimumParallax: float = 1.1
+
+    # ---- TPU static-shape capacities (new; no reference counterpart) ----
+    # Max features extracted per frame (ORB front-end budget).
+    max_features: int = 512
+    # Max matches returned by a matcher call.
+    max_matches: int = 512
+    # RANSAC iterations for two-view initialization (Initializer.cc:36).
+    ransac_iterations: int = 200
+    # Measurement sigma for initializer scoring (Initializer.cc:31).
+    sigma: float = 1.0
+
+    def intrinsics(self):
+        return (self.fx, self.fy, self.cx, self.cy)
