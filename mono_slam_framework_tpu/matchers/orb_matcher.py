@@ -1,0 +1,111 @@
+"""ORB + brute-force-Hamming matcher plugin (TPU-native).
+
+Capability twin of the reference's ORB plugin (src/featurematcher.{h,cpp}):
+cv::ORB::create() + BruteForce-Hamming knnMatch(k=2) + Lowe ratio test with
+strict '<' (featurematcher.cpp:32) and integer-truncated keypoint coordinates
+(featurematcher.cpp:33-38). Defaults: 500-feature budget, ratio 0.6 set by the
+application (reference src/main.cpp:66).
+
+The extract and match stages are separate jitted programs; per-frame features
+are cached by frame id (pure optimization — the reference recomputes both
+sides every call but produces the same matches given the same features).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mono_slam_framework_tpu.matchers.base import FeatureMatcher, MatchFramesResult
+from mono_slam_framework_tpu.ops import hamming, orb
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
+def _extract_jit(img, max_features, fast_threshold):
+    return orb.extract(img, max_features, fast_threshold)
+
+
+@jax.jit
+def _match_jit(f1: orb.Features, f2: orb.Features, ratio):
+    d = hamming.distance_matrix(f1.desc, f2.desc, f1.valid, f2.valid)
+    idx2, ok = hamming.knn2_ratio_match(d, ratio)
+    xy1 = f1.xy.astype(jnp.int32)  # truncation, featurematcher.cpp:33-38
+    xy2 = f2.xy[idx2].astype(jnp.int32)
+    return xy1, xy2, ok & f1.valid
+
+
+@jax.jit
+def _match_many_jit(f1: orb.Features, stacked: orb.Features, ratio):
+    def one(f2):
+        return _match_jit(f1, f2, ratio)
+
+    return jax.vmap(one)(stacked)
+
+
+class OrbFeatureMatcher(FeatureMatcher):
+    def __init__(
+        self,
+        threshold: float = 0.6,
+        max_features: int = 500,
+        fast_threshold: float = 20.0,
+    ):
+        self.threshold = float(threshold)
+        self.max_features = int(max_features)
+        self.fast_threshold = float(fast_threshold)
+        self._cache: dict[int, orb.Features] = {}
+
+    # -- feature extraction with per-frame-id caching ----------------------
+    def features_for(self, frame) -> orb.Features:
+        fid = frame.id
+        feats = self._cache.get(fid)
+        if feats is None:
+            img = jnp.asarray(frame.image, jnp.float32)
+            feats = _extract_jit(img, self.max_features, self.fast_threshold)
+            self._cache[fid] = feats
+        return feats
+
+    def drop_frame_cache(self, frame_id=None) -> None:
+        if frame_id is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(frame_id, None)
+
+    # -- FeatureMatcher interface ------------------------------------------
+    def match_frames(self, frame1, frame2) -> MatchFramesResult:
+        f1 = self.features_for(frame1)
+        f2 = self.features_for(frame2)
+        xy1, xy2, ok = _match_jit(f1, f2, self.threshold)
+        ok_np = np.asarray(ok)
+        return MatchFramesResult(
+            frame1=frame1,
+            frame2=frame2,
+            keypoints1=np.asarray(xy1)[ok_np],
+            keypoints2=np.asarray(xy2)[ok_np],
+        )
+
+    def match_against_many(self, frame, others):
+        if not others:
+            return []
+        f1 = self.features_for(frame)
+        feats = [self.features_for(o) for o in others]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+        xy1, xy2, ok = _match_many_jit(f1, stacked, self.threshold)
+        xy1, xy2, ok = np.asarray(xy1), np.asarray(xy2), np.asarray(ok)
+        results = []
+        for i, o in enumerate(others):
+            m = ok[i]
+            results.append(
+                MatchFramesResult(
+                    frame1=frame,
+                    frame2=o,
+                    keypoints1=xy1[i][m],
+                    keypoints2=xy2[i][m],
+                )
+            )
+        return results
+
+    def set_threshold(self, value: float) -> None:
+        self.threshold = float(value)
