@@ -45,10 +45,11 @@ def normalize_points(xy, valid):
     return normed, T
 
 
-def compute_homography(p1, p2):
+def compute_homography(p1, p2, weights=None):
     """DLT homography from >=4 correspondences (use 8, Initializer.cc:246-284).
 
     p1, p2: [M, 2] normalized points. Returns H21 [3,3] with p2 ~ H @ p1.
+    Optional `weights` [M] zero out rows (masked least squares for refits).
     """
     u1, v1 = p1[:, 0], p1[:, 1]
     u2, v2 = p2[:, 0], p2[:, 1]
@@ -56,15 +57,19 @@ def compute_homography(p1, p2):
     o = jnp.ones_like(u1)
     rows_a = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     rows_b = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    if weights is not None:
+        rows_a = rows_a * weights[:, None]
+        rows_b = rows_b * weights[:, None]
     A = jnp.concatenate([rows_a, rows_b], axis=0)  # [2M, 9]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     return vt[8].reshape(3, 3)
 
 
-def compute_fundamental(p1, p2):
+def compute_fundamental(p1, p2, weights=None):
     """8-point fundamental with rank-2 projection (Initializer.cc:286-320).
 
     p1, p2: [M, 2] normalized points. Returns F21 [3,3] with p2' F p1 = 0.
+    Optional `weights` [M] zero out rows (masked least squares for refits).
     """
     u1, v1 = p1[:, 0], p1[:, 1]
     u2, v2 = p2[:, 0], p2[:, 1]
@@ -72,6 +77,8 @@ def compute_fundamental(p1, p2):
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o], axis=-1
     )  # [M, 9]
+    if weights is not None:
+        A = A * weights[:, None]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     Fpre = vt[8].reshape(3, 3)
     u, w, vt2 = jnp.linalg.svd(Fpre)
