@@ -1,0 +1,286 @@
+"""Batched sparse bundle adjustment with Schur-complement elimination.
+
+Capability twin of the reference's g2o back-end:
+  * Optimizer::BundleAdjustment / GlobalBundleAdjustemnt
+    (slam_pipeline/src/Optimizer.cc:62-215): all KFs + marginalized landmarks,
+    Huber(sqrt(5.99)) when robust, vertex id 0 fixed;
+  * Optimizer::LocalBundleAdjustment (Optimizer.cc:336-574): covisible window
+    + fixed cameras, 5 robust LM iterations, prune chi2>5.991 / negative
+    depth, then 10 plain iterations, then report bad observations.
+
+TPU design (replaces g2o's pointer-graph BlockSolver_6_3):
+  * the edge list is a fixed-shape struct-of-arrays; per-edge 2x6 / 2x3
+    Jacobian blocks are built in one vectorized pass;
+  * Hessian blocks come from `segment_sum` scatters (U per camera, V per
+    landmark, W per edge);
+  * the Schur reduced camera system S = U - W V^-1 W^T is assembled by
+    scattering per-(edge,edge)-pair 6x6 contributions (pairs of edges that
+    share a landmark, precomputed on host) and solved densely on the MXU
+    with Jacobi equilibration for f32 robustness;
+  * landmark back-substitution is a batched closed-form 3x3 solve;
+  * the LM loop (Nielsen policy, matching g2o — see optim/lm.py) is a
+    `lax.scan`; rejected steps roll back by masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mono_slam_framework_tpu.geometry import se3
+from mono_slam_framework_tpu.optim import lm
+
+
+class BAProblem(NamedTuple):
+    cam_T: jax.Array  # f32 [C,4,4] world->camera
+    cam_fixed: jax.Array  # bool [C]
+    points: jax.Array  # f32 [P,3]
+    e_cam: jax.Array  # i32 [E]
+    e_pt: jax.Array  # i32 [E]
+    e_uv: jax.Array  # f32 [E,2]
+    e_valid: jax.Array  # bool [E]
+    pair_i: jax.Array  # i32 [PAIRS] edge index
+    pair_j: jax.Array  # i32 [PAIRS] edge index (same landmark as pair_i)
+    pair_valid: jax.Array  # bool [PAIRS]
+    K: jax.Array  # f32 [3,3]
+
+
+def build_problem(
+    cam_T: np.ndarray,
+    cam_fixed: np.ndarray,
+    points: np.ndarray,
+    e_cam: np.ndarray,
+    e_pt: np.ndarray,
+    e_uv: np.ndarray,
+    K: np.ndarray,
+    pad_edges: int | None = None,
+    pad_pairs: int | None = None,
+) -> BAProblem:
+    """Host-side problem assembly, including the edge-pair list.
+
+    Pads edges/pairs to the requested static capacities (next power of two by
+    default) so repeated solves of similarly-sized windows reuse the compiled
+    program.
+    """
+    e_cam = np.asarray(e_cam, np.int32)
+    e_pt = np.asarray(e_pt, np.int32)
+    e_uv = np.asarray(e_uv, np.float32)
+    E = e_cam.shape[0]
+
+    # ordered pairs of edges sharing a landmark (including self-pairs)
+    by_pt: dict[int, list[int]] = {}
+    for e in range(E):
+        by_pt.setdefault(int(e_pt[e]), []).append(e)
+    pi, pj = [], []
+    for _, es in sorted(by_pt.items()):
+        for a in es:
+            for b in es:
+                pi.append(a)
+                pj.append(b)
+    n_pairs = len(pi)
+
+    def cap(n, pad):
+        if pad is not None:
+            assert pad >= n, (pad, n)
+            return pad
+        return max(1, 1 << (int(n - 1).bit_length()))
+
+    Ecap = cap(E, pad_edges)
+    Pcap = cap(n_pairs, pad_pairs)
+
+    def padv(a, n, fill=0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    return BAProblem(
+        cam_T=jnp.asarray(cam_T, jnp.float32),
+        cam_fixed=jnp.asarray(cam_fixed, bool),
+        points=jnp.asarray(points, jnp.float32),
+        e_cam=jnp.asarray(padv(e_cam, Ecap)),
+        e_pt=jnp.asarray(padv(e_pt, Ecap)),
+        e_uv=jnp.asarray(padv(e_uv, Ecap)),
+        e_valid=jnp.asarray(padv(np.ones(E, bool), Ecap, False)),
+        pair_i=jnp.asarray(padv(np.asarray(pi, np.int32), Pcap)),
+        pair_j=jnp.asarray(padv(np.asarray(pj, np.int32), Pcap)),
+        pair_valid=jnp.asarray(padv(np.ones(n_pairs, bool), Pcap, False)),
+        K=jnp.asarray(K, jnp.float32),
+    )
+
+
+def _inv3x3(M):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _edge_terms(cam_T, X, p: BAProblem, mask, use_huber):
+    """Per-edge residuals/weights/Jacobians. mask: f32 [E]."""
+    Te = cam_T[p.e_cam]  # [E,4,4]
+    Xe = X[p.e_pt]  # [E,3]
+    Xc = jnp.einsum("eij,ej->ei", Te[:, :3, :3], Xe) + Te[:, :3, 3]
+    fx, fy = p.K[0, 0], p.K[1, 1]
+    cx, cy = p.K[0, 2], p.K[1, 2]
+    z = Xc[:, 2]
+    zs = jnp.where(z == 0, 1.0, z)
+    pred = jnp.stack([fx * Xc[:, 0] / zs + cx, fy * Xc[:, 1] / zs + cy], axis=-1)
+    r = pred - p.e_uv
+    e2 = jnp.sum(r * r, axis=-1)
+    w = lm.huber_weight(e2, use_huber) * mask
+    Jproj = lm.projection_jacobians(Xc, fx, fy)  # [E,2,3]
+    Jc = jnp.einsum("eij,ejk->eik", Jproj, lm.se3_point_jacobian(Xc))  # [E,2,6]
+    Jp = jnp.einsum("eij,ejk->eik", Jproj, Te[:, :3, :3])  # [E,2,3]
+    return r, e2, w, Jc, Jp, z
+
+
+def _lm_iterations(cam_T, X, p: BAProblem, edge_mask, use_huber, n_iters, dtype):
+    """Run `n_iters` LM iterations on the masked problem (one jit region)."""
+    C = cam_T.shape[0]
+    P = X.shape[0]
+    free = (~p.cam_fixed).astype(dtype)  # [C]
+
+    def chi2_of(T, Xp):
+        _, e2, _, _, _, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
+        return jnp.sum(lm.huber_rho(e2, use_huber) * edge_mask)
+
+    def hessian_diag_max(T, Xp):
+        r, e2, w, Jc, Jp, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
+        du = jnp.einsum("eik,e,eik->ek", Jc, w, Jc)  # [E,6] diag contributions
+        dv = jnp.einsum("eik,e,eik->ek", Jp, w, Jp)
+        dU = jax.ops.segment_sum(du, p.e_cam, C)
+        dV = jax.ops.segment_sum(dv, p.e_pt, P)
+        return jnp.maximum(jnp.max(dU), jnp.max(dV))
+
+    lam0 = lm.TAU * hessian_diag_max(cam_T, X)
+    chi0 = chi2_of(cam_T, X)
+
+    def step(carry, _):
+        T, Xp, lam, nu, chi = carry
+        r, e2, w, Jc, Jp, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
+
+        U = jax.ops.segment_sum(
+            jnp.einsum("eik,e,eil->ekl", Jc, w, Jc), p.e_cam, C
+        )  # [C,6,6]
+        V = jax.ops.segment_sum(
+            jnp.einsum("eik,e,eil->ekl", Jp, w, Jp), p.e_pt, P
+        )  # [P,3,3]
+        W = jnp.einsum("eik,e,eil->ekl", Jc, w, Jp)  # [E,6,3]
+        bc = jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jc, w, r), p.e_cam, C)
+        bp = jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jp, w, r), p.e_pt, P)
+
+        I6 = jnp.eye(6, dtype=dtype)
+        I3 = jnp.eye(3, dtype=dtype)
+        U = U + lam * I6[None]
+        Vinv = _inv3x3(V + lam * I3[None])
+
+        Y = jnp.einsum("ekl,elm->ekm", W, Vinv[p.e_pt])  # [E,6,3]
+
+        # Schur assembly: S[ci,cj] -= sum over pairs Y_i W_j^T
+        contrib = jnp.einsum("qkl,qml->qkm", Y[p.pair_i], W[p.pair_j])
+        contrib = contrib * p.pair_valid.astype(dtype)[:, None, None]
+        ci = p.e_cam[p.pair_i]
+        cj = p.e_cam[p.pair_j]
+        Sneg = jax.ops.segment_sum(contrib, ci * C + cj, C * C)  # [C*C,6,6]
+        S = -Sneg.reshape(C, C, 6, 6)
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
+        S = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * C, 6 * C)
+
+        # rhs = -(bc - sum_e Y_e bp[pt_e]) per camera
+        ybp = jnp.einsum("ekm,em->ek", Y, bp[p.e_pt])
+        red = bc - jax.ops.segment_sum(ybp, p.e_cam, C)  # [C,6]
+        rhs = -red.reshape(6 * C)
+
+        # fixed cameras: identity rows/cols, zero rhs
+        fmask = jnp.repeat(free, 6)  # [6C]
+        S = S * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        rhs = rhs * fmask
+
+        # Jacobi equilibration for f32 conditioning
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(S)), 1e-12))
+        dinv = 1.0 / d
+        Ss = S * dinv[:, None] * dinv[None, :]
+        ys = jnp.linalg.solve(Ss, rhs * dinv)
+        dc = (ys * dinv).reshape(C, 6) * free[:, None]
+
+        # landmark back-substitution: dp = -Vinv (bp + W^T dc)
+        wt_dc = jnp.einsum("ekl,ek->el", W, dc[p.e_cam])  # [E,3]
+        acc = jax.ops.segment_sum(wt_dc, p.e_pt, P)
+        dp = -jnp.einsum("pkl,pl->pk", Vinv, bp + acc)
+
+        T_new = se3.exp_se3(dc) @ T
+        X_new = Xp + dp
+        chi_new = chi2_of(T_new, X_new)
+
+        pred_dec = jnp.sum(dc * (lam * dc - bc)) + jnp.sum(dp * (lam * dp - bp))
+        rho = (chi - chi_new) / jnp.maximum(pred_dec, 1e-12)
+        accept = jnp.isfinite(chi_new) & (chi_new < chi)
+        lam_n, nu_n = lm.nielsen_update(lam, nu, rho, accept)
+        T_out = jnp.where(accept, T_new, T)
+        X_out = jnp.where(accept, X_new, Xp)
+        chi_out = jnp.where(accept, chi_new, chi)
+        return (T_out, X_out, lam_n, nu_n, chi_out), chi_out
+
+    (T_f, X_f, _, _, chi_f), _ = jax.lax.scan(
+        step,
+        (cam_T, X, lam0, jnp.asarray(2.0, dtype), chi0),
+        None,
+        length=n_iters,
+    )
+    return T_f, X_f, chi_f
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust"))
+def bundle_adjust(p: BAProblem, n_iters: int = 20, robust: bool = True):
+    """Plain BA (Optimizer::BundleAdjustment): no pruning between iterations.
+
+    Returns (cam_T, points, chi2).
+    """
+    with jax.default_matmul_precision("float32"):
+        mask = p.e_valid.astype(p.cam_T.dtype)
+        return _lm_iterations(
+            p.cam_T, p.points, p, mask, jnp.asarray(robust), n_iters, p.cam_T.dtype
+        )
+
+
+@jax.jit
+def local_bundle_adjust(p: BAProblem):
+    """Local BA schedule (Optimizer::LocalBundleAdjustment, 497-549):
+
+    5 robust iterations -> drop edges with chi2 > 5.991 or non-positive depth
+    -> 10 plain iterations -> final bad-edge classification.
+
+    Returns (cam_T, points, bad_edge bool [E], chi2).
+    """
+    with jax.default_matmul_precision("float32"):
+        dtype = p.cam_T.dtype
+        mask0 = p.e_valid.astype(dtype)
+        T1, X1, _ = _lm_iterations(
+            p.cam_T, p.points, p, mask0, jnp.asarray(True), 5, dtype
+        )
+        _, e2, _, _, _, z = _edge_terms(T1, X1, p, mask0, jnp.asarray(False))
+        keep = p.e_valid & (e2 <= lm.CHI2_MONO) & (z > 0)
+        T2, X2, chi = _lm_iterations(
+            T1, X1, p, keep.astype(dtype), jnp.asarray(False), 10, dtype
+        )
+        _, e2f, _, _, _, zf = _edge_terms(T2, X2, p, mask0, jnp.asarray(False))
+        bad = p.e_valid & ((e2f > lm.CHI2_MONO) | (zf <= 0))
+        return T2, X2, bad, chi

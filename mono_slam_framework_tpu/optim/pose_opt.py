@@ -1,0 +1,122 @@
+"""Motion-only pose optimization (the reference's PoseOptimization).
+
+Capability twin of Optimizer::PoseOptimization (slam_pipeline/src/Optimizer.cc:
+217-334): one SE3 vertex, unary projection edges, 4 rounds x 10 LM iterations
+with chi2 = 5.991 outlier reclassification between rounds, Huber kernel
+dropped after round 3 (it == 2 check at Optimizer.cc:320), and — a reference
+behavior preserved deliberately — every round RESTARTS from the input pose
+(vSE3->setEstimate(pFrame->mTcw) at Optimizer.cc:295; mTcw is only written
+after all rounds).
+
+TPU design: the whole 4x10 schedule is ONE jitted program over fixed-shape
+padded edge arrays — `lax.scan` over rounds, inner `lax.scan` over LM
+iterations, masks for the evolving inlier set. The 6x6 normal-equation solve
+is trivially dense.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mono_slam_framework_tpu.geometry import se3
+from mono_slam_framework_tpu.optim import lm
+
+N_ROUNDS = 4
+N_ITERS = 10
+
+
+def _edge_terms(T, Xw, uv, K, mask, use_huber):
+    """Residuals, IRLS weights, per-edge J [E,2,6]; masked edges zeroed."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Xc = Xw @ R.T + t
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    z = jnp.where(Xc[:, 2] == 0, 1.0, Xc[:, 2])
+    pred = jnp.stack([fx * Xc[:, 0] / z + cx, fy * Xc[:, 1] / z + cy], axis=-1)
+    r = pred - uv  # [E,2]
+    e2 = jnp.sum(r * r, axis=-1)
+    w = lm.huber_weight(e2, use_huber) * mask
+    Jp = lm.projection_jacobians(Xc, fx, fy)  # [E,2,3]
+    Jx = lm.se3_point_jacobian(Xc)  # [E,3,6]
+    J = jnp.einsum("eij,ejk->eik", Jp, Jx)  # [E,2,6]
+    return r, e2, w, J
+
+
+def _round(T_init, Xw, uv, K, mask, use_huber, dtype):
+    """One reference 'round': 10 LM iterations from T_init with a fixed mask."""
+
+    def chi2_of(T):
+        _, e2, _, _ = _edge_terms(T, Xw, uv, K, mask, use_huber)
+        return jnp.sum(lm.huber_rho(e2, use_huber) * mask)
+
+    r0, e20, w0, J0 = _edge_terms(T_init, Xw, uv, K, mask, use_huber)
+    H0 = jnp.einsum("eik,e,eil->kl", J0, w0, J0)
+    lam0 = lm.TAU * jnp.max(jnp.diag(H0))
+    chi0 = chi2_of(T_init)
+
+    def step(carry, _):
+        T, lam, nu, chi = carry
+        r, e2, w, J = _edge_terms(T, Xw, uv, K, mask, use_huber)
+        H = jnp.einsum("eik,e,eil->kl", J, w, J)
+        b = jnp.einsum("eik,e,ei->k", J, w, r)
+        A = H + lam * jnp.eye(6, dtype=dtype)
+        delta = -jnp.linalg.solve(A, b)
+        T_new = se3.exp_se3(delta) @ T
+        chi_new = chi2_of(T_new)
+        # gain ratio: predicted decrease = delta^T(lambda*delta - b)
+        denom = jnp.maximum(jnp.dot(delta, lam * delta - b), 1e-12)
+        rho = (chi - chi_new) / denom
+        accept = jnp.isfinite(chi_new) & (chi_new < chi)
+        lam_n, nu_n = lm.nielsen_update(lam, nu, rho, accept)
+        T_out = jnp.where(accept, T_new, T)
+        chi_out = jnp.where(accept, chi_new, chi)
+        return (T_out, lam_n, nu_n, chi_out), None
+
+    (T_fin, _, _, _), _ = jax.lax.scan(
+        step, (T_init, lam0, jnp.asarray(2.0, dtype), chi0), None, length=N_ITERS
+    )
+    return T_fin
+
+
+@jax.jit
+def pose_optimize(T_init, Xw, uv, valid, K):
+    """4x10 LM pose refinement with inter-round outlier reclassification.
+
+    Args:
+      T_init: [4,4] initial world->camera pose.
+      Xw: [E,3] map-point positions (padded).
+      uv: [E,2] observed pixels.
+      valid: bool [E] true for real edges.
+      K: [3,3] intrinsics.
+
+    Returns:
+      (T_opt [4,4], inlier bool [E], n_good i32) — n_good mirrors the
+      reference's return nInitialCorrespondences - nBad (Optimizer.cc:333).
+    """
+    dtype = T_init.dtype
+    Xw = Xw.astype(dtype)
+    uv = uv.astype(dtype)
+
+    def round_body(carry, it):
+        inlier, _ = carry
+        mask = (valid & inlier).astype(dtype)
+        use_huber = it < 3  # kernel removed at it==2 end (Optimizer.cc:320)
+        T_fin = _round(T_init, Xw, uv, K, mask, use_huber, dtype)
+        # reclassify ALL edges by raw chi2 at the new pose (Optimizer.cc:300-321)
+        _, e2, _, _ = _edge_terms(
+            T_fin, Xw, uv, K, valid.astype(dtype), jnp.asarray(False)
+        )
+        new_inlier = e2 <= lm.CHI2_MONO
+        return (new_inlier, T_fin), None
+
+    init_inlier = jnp.ones_like(valid)
+    (inlier, T_fin), _ = jax.lax.scan(
+        round_body, (init_inlier, T_init), jnp.arange(N_ROUNDS)
+    )
+    inlier = inlier & valid
+    n_good = jnp.sum(inlier.astype(jnp.int32))
+    return T_fin, inlier, n_good
