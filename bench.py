@@ -1,0 +1,103 @@
+"""Benchmark: monocular tracking throughput per chip.
+
+Measures the steady-state per-frame hot path of SURVEY.md §3.1 at the
+north-star operating point (BASELINE.md: >= 60 FPS per chip at 2000
+features/frame on 640x480 imagery):
+
+  per frame: ORB feature extraction on the new image (8-level pyramid,
+  FAST+Harris+rBRIEF) -> Hamming match vs previous frame -> motion-only pose
+  LM (4x10 rounds, 512 correspondences) -> one batched match against an
+  8-keyframe local map (the SearchLocalPoints + KF-database workload).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mono_slam_framework_tpu.ops import hamming, orb
+    from mono_slam_framework_tpu.optim.pose_opt import pose_optimize
+
+    H, W = 480, 640
+    MAXF = 2000
+    NPTS = 512
+    N_LOCAL_KF = 8
+    N_FRAMES = 60
+
+    K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], jnp.float32)
+
+    @jax.jit
+    def extract(img):
+        return orb.extract(img, MAXF)
+
+    @jax.jit
+    def match(f1, f2):
+        d = hamming.distance_matrix(f1.desc, f2.desc, f1.valid, f2.valid)
+        idx2, ok = hamming.knn2_ratio_match(d, 0.7)
+        return f1.xy, f2.xy[idx2], ok & f1.valid
+
+    @jax.jit
+    def match_many(f1, stacked):
+        return jax.vmap(lambda f2: match(f1, f2))(stacked)
+
+    @jax.jit
+    def pose(T, X, uv, valid):
+        return pose_optimize(T, X, uv, valid, K)
+
+    # synthetic feature-rich frames (host-generated once; realistic content)
+    rng = np.random.default_rng(0)
+    base = np.kron(
+        rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32), np.ones((8, 8))
+    )
+    frames = [
+        jnp.asarray(np.roll(base, 3 * i, axis=1), jnp.float32)
+        for i in range(N_FRAMES)
+    ]
+
+    X = jnp.asarray(rng.uniform(-2, 2, (NPTS, 3)) + [0, 0, 6], jnp.float32)
+    uvp = (X[:, :2] / X[:, 2:]) * 500.0 + jnp.asarray([320.0, 240.0])
+    valid = jnp.ones(NPTS, bool)
+    T0 = jnp.eye(4, dtype=jnp.float32)
+
+    # warm up / compile everything
+    feats = [extract(frames[0]), extract(frames[1])]
+    kf_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *([feats[0]] * N_LOCAL_KF))
+    jax.block_until_ready(match(feats[1], feats[0]))
+    jax.block_until_ready(match_many(feats[1], kf_stack))
+    jax.block_until_ready(pose(T0, X, uvp, valid))
+
+    # steady-state timing
+    prev = extract(frames[0])
+    jax.block_until_ready(prev)
+    t0 = time.perf_counter()
+    for i in range(1, N_FRAMES):
+        cur = extract(frames[i])
+        m = match(cur, prev)
+        T_opt, _, n_good = pose(T0, X, uvp, valid)
+        mm = match_many(cur, kf_stack)
+        prev = cur
+    jax.block_until_ready((m, T_opt, mm))
+    dt = time.perf_counter() - t0
+
+    fps = (N_FRAMES - 1) / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"tracking_fps_per_chip_{MAXF}feat",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

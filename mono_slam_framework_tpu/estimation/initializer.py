@@ -185,11 +185,20 @@ def reconstruct_h(H21, K, xy1, xy2, inliers, sigma2, min_parallax, min_triangula
 
     N = jnp.sum(inliers)
     best = jnp.argmax(ngood)
-    # Reference quirk preserved: ReconstructH uses min() for the support
-    # threshold (Initializer.cc:730) where ReconstructF uses max() (529), and
-    # the second-best distinctness check is commented out (731).
-    min_good = jnp.minimum((0.9 * N).astype(jnp.int32), min_triangulated)
-    ok = decomp_ok & (par[best] >= min_parallax) & (ngood[best] >= min_good)
+    second_best = jnp.max(jnp.where(jnp.arange(8) == best, -1, ngood))
+    # DELIBERATE DIVERGENCE from the reference: Initializer.cc:730 weakens the
+    # support gate to min(0.9N, minTriangulated) and comments out the
+    # second-best distinctness check (731) — which accepts Faugeras solutions
+    # backed by as few as 25 points on ambiguous scenes and produces corrupt
+    # initial maps. We restore the upstream-ORB-SLAM2-strength gate:
+    # distinct winner + 90% support + minTriangulated + parallax.
+    ok = (
+        decomp_ok
+        & (second_best < 0.75 * ngood[best])
+        & (par[best] >= min_parallax)
+        & (ngood[best] >= min_triangulated)
+        & (ngood[best] > (0.9 * N).astype(jnp.int32))
+    )
     return ok, Rs[best], ts[best], X[best], good[best]
 
 

@@ -51,20 +51,35 @@ class OrbFeatureMatcher(FeatureMatcher):
         threshold: float = 0.6,
         max_features: int = 500,
         fast_threshold: float = 20.0,
+        cache_size: int = 512,
     ):
         self.threshold = float(threshold)
         self.max_features = int(max_features)
         self.fast_threshold = float(fast_threshold)
-        self._cache: dict[int, orb.Features] = {}
+        self.cache_size = int(cache_size)
+        import collections
 
-    # -- feature extraction with per-frame-id caching ----------------------
+        self._cache: "collections.OrderedDict[object, orb.Features]" = (
+            collections.OrderedDict()
+        )
+
+    # -- feature extraction with per-image LRU caching ---------------------
     def features_for(self, frame) -> orb.Features:
-        fid = frame.id
+        # Frames expose `matcher_key` (unique per distinct image; clones and
+        # derived KeyFrames share it). Fall back to object identity for bare
+        # test stand-ins.
+        fid = getattr(frame, "matcher_key", None)
+        if fid is None:
+            fid = id(frame)
         feats = self._cache.get(fid)
         if feats is None:
             img = jnp.asarray(frame.image, jnp.float32)
             feats = _extract_jit(img, self.max_features, self.fast_threshold)
             self._cache[fid] = feats
+            if len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)  # evict LRU; recomputable
+        else:
+            self._cache.move_to_end(fid)
         return feats
 
     def drop_frame_cache(self, frame_id=None) -> None:

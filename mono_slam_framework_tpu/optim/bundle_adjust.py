@@ -241,7 +241,7 @@ def _lm_iterations(cam_T, X, p: BAProblem, edge_mask, use_huber, n_iters, dtype)
 
     (T_f, X_f, _, _, chi_f), _ = jax.lax.scan(
         step,
-        (cam_T, X, lam0, jnp.asarray(2.0, dtype), chi0),
+        (cam_T, X, lam0, jnp.full_like(chi0, 2.0), chi0),
         None,
         length=n_iters,
     )

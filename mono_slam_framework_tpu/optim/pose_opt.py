@@ -76,8 +76,10 @@ def _round(T_init, Xw, uv, K, mask, use_huber, dtype):
         chi_out = jnp.where(accept, chi_new, chi)
         return (T_out, lam_n, nu_n, chi_out), None
 
+    # nu seeded from chi0 keeps the carry's sharding axes consistent under
+    # shard_map (a replicated literal here breaks scan's vma matching)
     (T_fin, _, _, _), _ = jax.lax.scan(
-        step, (T_init, lam0, jnp.asarray(2.0, dtype), chi0), None, length=N_ITERS
+        step, (T_init, lam0, jnp.full_like(chi0, 2.0), chi0), None, length=N_ITERS
     )
     return T_fin
 

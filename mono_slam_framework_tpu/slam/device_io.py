@@ -1,0 +1,219 @@
+"""Host <-> device bridge: gather map state into padded arrays, run the
+jitted optimizers, scatter results back into the host map model.
+
+This file is the TPU replacement for the reference's Optimizer.cc g2o glue:
+  * optimize_frame_pose  <->  Optimizer::PoseOptimization (217-334)
+  * run_local_ba         <->  Optimizer::LocalBundleAdjustment (336-574)
+  * run_global_ba        <->  Optimizer::BundleAdjustment / GlobalBundleAdjustemnt
+                              (62-215) incl. the staged nLoopKF != 0 mode
+
+Shapes are padded to powers of two so repeated calls with similar problem
+sizes hit the jit cache instead of recompiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mono_slam_framework_tpu.optim import (
+    build_problem,
+    bundle_adjust,
+    local_bundle_adjust,
+    pose_optimize,
+)
+
+
+def _pow2(n: int, floor: int = 64) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def optimize_frame_pose(frame) -> int:
+    """Motion-only pose refinement of `frame` against its associated map
+    points; writes the pose and per-pixel outlier flags back.
+
+    Returns the inlier count (reference returns
+    nInitialCorrespondences - nBad, Optimizer.cc:333; returns 0 and skips
+    when fewer than 3 correspondences, Optimizer.cc:285).
+    """
+    entries = [
+        (idx, item)
+        for idx, item in frame.keypoint_map.items()
+        if item.map_point is not None
+    ]
+    n = len(entries)
+    if n < 3:
+        return 0
+    cap = _pow2(n)
+    Xw = np.zeros((cap, 3), np.float32)
+    uv = np.zeros((cap, 2), np.float32)
+    valid = np.zeros(cap, bool)
+    for i, (idx, item) in enumerate(entries):
+        Xw[i] = item.map_point.world_pos
+        uv[i] = frame.keypoint_map.keypoint_from_index(idx)
+        valid[i] = True
+    T_opt, inlier, n_good = pose_optimize(
+        jnp.asarray(frame.Tcw),
+        jnp.asarray(Xw),
+        jnp.asarray(uv),
+        jnp.asarray(valid),
+        jnp.asarray(frame.K),
+    )
+    frame.set_pose(np.asarray(T_opt))
+    inlier = np.asarray(inlier)
+    for i, (idx, item) in enumerate(entries):
+        item.outlier = not bool(inlier[i])
+    return int(n_good)
+
+
+def _collect_ba_window(local_kfs: list, local_mps: list, current_marker):
+    """Fixed-camera discovery + edge assembly shared by local/global BA."""
+    fixed_kfs = []
+    for mp in local_mps:
+        for kf in mp.observations:
+            if (
+                kf.ba_local_for_kf != current_marker
+                and kf.ba_fixed_for_kf != current_marker
+            ):
+                kf.ba_fixed_for_kf = current_marker
+                if not kf.is_bad:
+                    fixed_kfs.append(kf)
+    return fixed_kfs
+
+
+def run_local_ba(current_kf, map_) -> None:
+    """Local BA over the covisible window (Optimizer.cc:336-574)."""
+    marker = current_kf.id
+    local_kfs = [current_kf]
+    current_kf.ba_local_for_kf = marker
+    for kf in current_kf.get_covisibles():
+        kf.ba_local_for_kf = marker
+        if not kf.is_bad:
+            local_kfs.append(kf)
+
+    local_mps = []
+    for kf in local_kfs:
+        for _, item in kf.map_point_items():
+            mp = item.map_point
+            if mp is not None and not mp.is_bad and mp.ba_local_for_kf != marker:
+                local_mps.append(mp)
+                mp.ba_local_for_kf = marker
+
+    fixed_kfs = _collect_ba_window(local_kfs, local_mps, marker)
+
+    cams = local_kfs + fixed_kfs
+    cam_index = {kf: i for i, kf in enumerate(cams)}
+    cam_fixed = np.array(
+        [kf.id == 0 for kf in local_kfs] + [True] * len(fixed_kfs), bool
+    )
+    mp_index = {mp: i for i, mp in enumerate(local_mps)}
+
+    e_cam, e_pt, e_uv, e_ref = [], [], [], []
+    for mp in local_mps:
+        for kf, kp in mp.observations.items():
+            if kf.is_bad or kf not in cam_index:
+                continue
+            e_cam.append(cam_index[kf])
+            e_pt.append(mp_index[mp])
+            e_uv.append(kp)
+            e_ref.append((kf, mp))
+    if not e_cam:
+        return
+
+    p = build_problem(
+        np.stack([kf.Tcw for kf in cams]).astype(np.float32),
+        cam_fixed,
+        np.stack([mp.world_pos for mp in local_mps]).astype(np.float32),
+        np.asarray(e_cam, np.int32),
+        np.asarray(e_pt, np.int32),
+        np.asarray(e_uv, np.float32),
+        cams[0].K,
+        pad_edges=_pow2(len(e_cam)),
+        pad_pairs=None,
+    )
+    T_out, X_out, bad, _ = local_bundle_adjust(p)
+    T_out = np.asarray(T_out)
+    X_out = np.asarray(X_out)
+    bad = np.asarray(bad)
+
+    # erase bad observations (Optimizer.cc:526-549)
+    for e, flagged in enumerate(bad[: len(e_ref)]):
+        if flagged:
+            kf, mp = e_ref[e]
+            kf.erase_map_point_match(mp)
+            mp.erase_observation(kf)
+
+    # write back optimized local cameras and landmarks (550-573)
+    for i, kf in enumerate(local_kfs):
+        if not cam_fixed[i]:
+            kf.set_pose(T_out[i])
+    for mp, i in mp_index.items():
+        if not mp.is_bad:
+            mp.set_world_pos(X_out[i])
+            mp.update_normal_and_depth()
+
+
+def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> None:
+    """Full-map BA (Optimizer::BundleAdjustment, 71-215).
+
+    loop_kf == 0 applies results directly; otherwise results are staged in
+    kf.Tcw_gba / mp.pos_gba exactly like the reference (186-213) so
+    LoopClosing can propagate corrections through the spanning tree.
+    """
+    kfs = [kf for kf in map_.all_keyframes() if not kf.is_bad]
+    mps = [mp for mp in map_.all_map_points() if not mp.is_bad]
+    if not kfs or not mps:
+        return
+    kfs.sort(key=lambda kf: kf.id)
+    cam_index = {kf: i for i, kf in enumerate(kfs)}
+    cam_fixed = np.array([kf.id == 0 for kf in kfs], bool)
+    mp_index = {}
+    e_cam, e_pt, e_uv = [], [], []
+    used_mps = []
+    for mp in mps:
+        edges = [
+            (kf, kp)
+            for kf, kp in mp.observations.items()
+            if not kf.is_bad and kf in cam_index
+        ]
+        if not edges:
+            continue  # vbNotIncludedMP (Optimizer.cc:157-159)
+        mp_index[mp] = len(used_mps)
+        used_mps.append(mp)
+        for kf, kp in edges:
+            e_cam.append(cam_index[kf])
+            e_pt.append(mp_index[mp])
+            e_uv.append(kp)
+    if not e_cam:
+        return
+
+    p = build_problem(
+        np.stack([kf.Tcw for kf in kfs]).astype(np.float32),
+        cam_fixed,
+        np.stack([mp.world_pos for mp in used_mps]).astype(np.float32),
+        np.asarray(e_cam, np.int32),
+        np.asarray(e_pt, np.int32),
+        np.asarray(e_uv, np.float32),
+        kfs[0].K,
+        pad_edges=_pow2(len(e_cam)),
+    )
+    T_out, X_out, _ = bundle_adjust(p, n_iters=n_iters, robust=robust)
+    T_out = np.asarray(T_out)
+    X_out = np.asarray(X_out)
+
+    for i, kf in enumerate(kfs):
+        if loop_kf == 0:
+            kf.set_pose(T_out[i])
+        else:
+            kf.Tcw_gba = T_out[i].copy()
+            kf.ba_global_for_kf = loop_kf
+    for mp, i in mp_index.items():
+        if mp.is_bad:
+            continue
+        if loop_kf == 0:
+            mp.set_world_pos(X_out[i])
+            mp.update_normal_and_depth()
+        else:
+            mp.pos_gba = X_out[i].copy()
+            mp.ba_global_for_kf = loop_kf

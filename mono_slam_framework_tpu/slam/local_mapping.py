@@ -1,0 +1,279 @@
+"""Local mapping: keyframe processing, triangulation, fusion, culling.
+
+Capability twin of the reference LocalMapping (include/LocalMapping.h,
+src/LocalMapping.cc). `run()` is a single drain-one-keyframe step called
+synchronously from System per frame (reference design choice #4, SURVEY.md §0;
+src/System.cc:63-75 — no threads).
+
+Device usage: triangulation of all matches against a neighbor KF is one
+batched DLT call (replacing the per-match 4x4 SVD loop at
+LocalMapping.cc:195-281); local BA is the Schur LM program (optim/).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mono_slam_framework_tpu.geometry import triangulation
+from mono_slam_framework_tpu.slam.device_io import run_local_ba
+from mono_slam_framework_tpu.slam.map_model import MapPoint
+
+
+class LocalMapping:
+    def __init__(self, map_, feature_matcher, params, verbose: bool = True):
+        self.map = map_
+        self.matcher = feature_matcher
+        self.min_parallax = float(params.minimumParallax)
+        self.new_keyframes: list = []
+        self.recent_map_points: list = []
+        self.current_kf = None
+        self.loop_closer = None
+        self.verbose = verbose
+
+    def _log(self, *a):
+        if self.verbose:
+            print(*a)
+
+    def set_loop_closer(self, lc) -> None:
+        self.loop_closer = lc
+
+    def insert_keyframe(self, kf) -> None:
+        self.new_keyframes.append(kf)
+
+    def check_new_keyframes(self) -> bool:
+        return bool(self.new_keyframes)
+
+    def release(self) -> None:
+        self.new_keyframes.clear()
+        self._log("Local Mapping RELEASE")
+
+    def reset(self) -> None:
+        self.new_keyframes.clear()
+        self.recent_map_points.clear()
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        """One drain-one-keyframe step (LocalMapping::Run, 43-70)."""
+        if not self.check_new_keyframes():
+            return
+        self.process_new_keyframe()
+        self.map_point_culling()
+        self.create_new_map_points()
+        self.search_in_neighbors()
+        if self.map.n_keyframes() > 2:
+            run_local_ba(self.current_kf, self.map)
+        self._log("Local BA done")
+        self.keyframe_culling()
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(self.current_kf)
+
+    def process_new_keyframe(self) -> None:
+        """LocalMapping.cc:78-108."""
+        self.current_kf = self.new_keyframes.pop(0)
+        for idx, item in list(self.current_kf.map_point_items()):
+            mp = item.map_point
+            if mp is None or mp.is_bad:
+                continue
+            if not mp.is_in_keyframe(self.current_kf):
+                kp = self.current_kf.keypoint_map.keypoint_from_index(idx)
+                mp.add_observation(self.current_kf, kp)
+                mp.update_normal_and_depth()
+            else:
+                # only init-inserted points reach here (LocalMapping.cc:94-98)
+                self.recent_map_points.append(mp)
+        self.current_kf.update_connections()
+        self.map.add_keyframe(self.current_kf)
+
+    def map_point_culling(self) -> None:
+        """LocalMapping.cc:110-134."""
+        current_id = self.current_kf.id
+        kept = []
+        for mp in self.recent_map_points:
+            if mp.is_bad:
+                continue
+            if mp.found_ratio() < 0.25:
+                mp.set_bad_flag()
+            elif current_id - mp.first_kf_id >= 2 and mp.n_obs <= 2:
+                mp.set_bad_flag()
+            elif current_id - mp.first_kf_id >= 3:
+                continue  # passed probation; drop from the watch list
+            else:
+                kept.append(mp)
+        self.recent_map_points = kept
+
+    def create_new_map_points(self) -> None:
+        """Triangulate new points against <=20 covisible KFs
+        (LocalMapping.cc:136-294); the per-match loop is one batched DLT."""
+        neighbors = self.current_kf.get_best_covisibles(20)
+        kf1 = self.current_kf
+        Rcw1 = kf1.get_rotation()
+        Rwc1 = Rcw1.T
+        tcw1 = kf1.get_translation()
+        Tcw1 = np.hstack([Rcw1, tcw1[:, None]])
+        Ow1 = kf1.get_camera_center()
+        K = kf1.K
+
+        n_new = 0
+        n_candidates = 0
+        for i, kf2 in enumerate(neighbors):
+            if i > 0 and self.check_new_keyframes():
+                return
+            Ow2 = kf2.get_camera_center()
+            baseline = float(np.linalg.norm(Ow2 - Ow1))
+            median_depth2 = kf2.compute_scene_median_depth(2)
+            if median_depth2 <= 0 or baseline / median_depth2 < 0.01:
+                continue  # LocalMapping.cc:162-174
+
+            res = self.matcher.match_frames(kf1, kf2)
+            n = res.num_matches
+            n_candidates += n
+            if n == 0:
+                continue
+            Rcw2 = kf2.get_rotation()
+            Rwc2 = Rcw2.T
+            tcw2 = kf2.get_translation()
+            Tcw2 = np.hstack([Rcw2, tcw2[:, None]])
+
+            uv1 = res.keypoints1.astype(np.float32)
+            uv2 = res.keypoints2.astype(np.float32)
+            # parallax gate on backprojected rays (LocalMapping.cc:199-211)
+            cosp = np.asarray(
+                triangulation.rays_cos_parallax(
+                    jnp.asarray(uv1), jnp.asarray(uv2),
+                    jnp.asarray(K), jnp.asarray(kf2.K),
+                    jnp.asarray(Rwc1), jnp.asarray(Rwc2),
+                )
+            )
+            gate = (cosp > 0) & (cosp < self.min_parallax)
+            # batched DLT in NORMALIZED camera coords (the reference builds A
+            # from xn and Tcw rows, LocalMapping.cc:213-227)
+            fx1, fy1, cx1, cy1 = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+            fx2, fy2, cx2, cy2 = kf2.K[0, 0], kf2.K[1, 1], kf2.K[0, 2], kf2.K[1, 2]
+            xn1 = np.stack(
+                [(uv1[:, 0] - cx1) / fx1, (uv1[:, 1] - cy1) / fy1], -1
+            )
+            xn2 = np.stack(
+                [(uv2[:, 0] - cx2) / fx2, (uv2[:, 1] - cy2) / fy2], -1
+            )
+            X, w_h = triangulation.triangulate_dlt(
+                jnp.asarray(xn1), jnp.asarray(xn2),
+                jnp.asarray(Tcw1, jnp.float32), jnp.asarray(Tcw2, jnp.float32),
+            )
+            X = np.asarray(X)
+            w_h = np.asarray(w_h)
+
+            # cheirality + reprojection gates (LocalMapping.cc:233-264)
+            z1 = X @ Rcw1[2] + tcw1[2]
+            z2 = X @ Rcw2[2] + tcw2[2]
+            x1p = X @ Rcw1[0] + tcw1[0]
+            y1p = X @ Rcw1[1] + tcw1[1]
+            x2p = X @ Rcw2[0] + tcw2[0]
+            y2p = X @ Rcw2[1] + tcw2[1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                e1 = (fx1 * x1p / z1 + cx1 - uv1[:, 0]) ** 2 + (
+                    fy1 * y1p / z1 + cy1 - uv1[:, 1]
+                ) ** 2
+                e2 = (fx2 * x2p / z2 + cx2 - uv2[:, 0]) ** 2 + (
+                    fy2 * y2p / z2 + cy2 - uv2[:, 1]
+                ) ** 2
+            ok = (
+                gate
+                & (w_h != 0)
+                & (z1 > 0)
+                & (z2 > 0)
+                & (e1 <= 5.991)
+                & (e2 <= 5.991)
+                & np.isfinite(X).all(axis=1)
+            )
+
+            for k in np.nonzero(ok)[0]:
+                mp = MapPoint(X[k], kf1, self.map)
+                kp1 = tuple(res.keypoints1[k])
+                kp2 = tuple(res.keypoints2[k])
+                mp.add_observation(kf1, kp1)
+                mp.add_observation(kf2, kp2)
+                kf1.add_map_point(mp, kp1)
+                kf2.add_map_point(mp, kp2)
+                mp.update_normal_and_depth()
+                self.map.add_map_point(mp)
+                self.recent_map_points.append(mp)
+                n_new += 1
+
+        if n_new > 0:
+            self._log(f"New MPs created {n_new}")
+        else:
+            self._log(f"Failed to create new MPs, candidates {n_candidates}")
+        self._log(f"KF num {self.map.n_keyframes()}")
+        self._log(f"MP num {self.map.n_map_points()}")
+
+    def search_in_neighbors(self) -> None:
+        """Fuse duplicate points with 1st/2nd-order neighbors
+        (LocalMapping.cc:296-362); matching is one batched call."""
+        targets = []
+        for kf in self.current_kf.get_best_covisibles(20):
+            if kf.is_bad or kf.fuse_target_for_kf == self.current_kf.id:
+                continue
+            targets.append(kf)
+            kf.fuse_target_for_kf = self.current_kf.id
+            for kf2 in kf.get_best_covisibles(5):
+                if (
+                    kf2.is_bad
+                    or kf2.fuse_target_for_kf == self.current_kf.id
+                    or kf2.id == self.current_kf.id
+                ):
+                    continue
+                targets.append(kf2)
+        if targets:
+            results = self.matcher.match_against_many(self.current_kf, targets)
+            for kf, res in zip(targets, results):
+                for i in range(res.num_matches):
+                    mp1 = res.get_map_point1(i)
+                    mp2 = res.get_map_point2(i)
+                    if mp1 is not None and mp2 is not None:
+                        if not mp1.is_bad and not mp2.is_bad:
+                            if mp2.n_obs > mp1.n_obs:
+                                mp1.replace(mp2)
+                            else:
+                                mp2.replace(mp1)
+                            mp1.update_normal_and_depth()
+                            mp2.update_normal_and_depth()
+                    elif mp1 is None and mp2 is not None:
+                        mp2.add_observation(
+                            self.current_kf, tuple(res.keypoints1[i])
+                        )
+                        self.current_kf.keypoint_map.set_map_point(
+                            tuple(res.keypoints1[i]), mp2
+                        )
+                        if not mp2.is_bad:
+                            mp2.update_normal_and_depth()
+                    elif mp1 is not None and mp2 is None:
+                        mp1.add_observation(kf, tuple(res.keypoints2[i]))
+                        kf.keypoint_map.set_map_point(tuple(res.keypoints2[i]), mp1)
+                        if not mp1.is_bad:
+                            mp1.update_normal_and_depth()
+        self.current_kf.update_connections()
+
+    def keyframe_culling(self) -> None:
+        """Cull covisible KFs whose points are >=90% redundantly observed
+        (LocalMapping.cc:369-420)."""
+        n_bad = 0
+        for kf in self.current_kf.get_covisibles():
+            if kf.id == 0:
+                continue
+            th_obs = 3
+            n_redundant = 0
+            n_mps = 0
+            for _, item in kf.map_point_items():
+                mp = item.map_point
+                if mp is None or mp.is_bad:
+                    continue
+                n_mps += 1
+                if mp.n_obs > th_obs:
+                    n_other = sum(1 for okf in mp.observations if okf is not kf)
+                    if n_other >= th_obs:
+                        n_redundant += 1
+            if n_redundant > 0.9 * n_mps:
+                kf.set_bad_flag()
+                n_bad += 1
+        self._log(f"Bad KF {n_bad}")

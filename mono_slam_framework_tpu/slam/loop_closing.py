@@ -1,0 +1,131 @@
+"""Loop closing: match-database detection + global BA + spanning-tree
+correction propagation.
+
+Capability twin of the reference LoopClosing (include/LoopClosing.h,
+src/LoopClosing.cc). Simplified loop closing by design (reference difference
+#5, SURVEY.md §0): no Sim3 solver, no essential graph — a detected loop
+triggers a synchronous global bundle adjustment with corrections propagated
+over the spanning tree to keyframes the BA missed, and map points re-anchored
+via their reference keyframe's pre/post-BA pose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mono_slam_framework_tpu.slam.device_io import run_global_ba
+
+
+class LoopClosing:
+    def __init__(self, map_, kf_db, feature_matcher, params, verbose: bool = True):
+        self.map = map_
+        self.kf_db = kf_db
+        self.matcher = feature_matcher
+        self.loop_detection_max_frames = params.loopDetectionMaxFrames
+        self.min_num_mp_matches = params.minNumMPMatches
+        self.queue: list = []
+        self.last_loop_kf_id = 0
+        self.full_ba_idx = False
+        self.current_kf = None
+        self.matched_kf = None
+        self.local_mapper = None
+        self.verbose = verbose
+
+    def _log(self, *a):
+        if self.verbose:
+            print(*a)
+
+    def set_local_mapper(self, lm) -> None:
+        self.local_mapper = lm
+
+    def insert_keyframe(self, kf) -> None:
+        if kf.id != 0:
+            self.queue.append(kf)
+
+    def check_new_keyframes(self) -> bool:
+        return bool(self.queue)
+
+    def reset(self) -> None:
+        self.queue.clear()
+        self.last_loop_kf_id = 0
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        """One drain-one-keyframe step (LoopClosing::Run, 50-59)."""
+        if self.check_new_keyframes():
+            if self.detect_loop():
+                self.correct_loop()
+
+    def detect_loop(self) -> bool:
+        """LoopClosing.cc:69-99: cooldown, then batched DB scan."""
+        self.current_kf = self.queue.pop(0)
+        self.current_kf.set_not_erase()
+
+        if self.current_kf.id < self.last_loop_kf_id + self.loop_detection_max_frames:
+            self.kf_db.add(self.current_kf)
+            self.current_kf.set_erase()
+            return False
+
+        candidate = self.kf_db.detect_loop_candidate(
+            self.current_kf, self.min_num_mp_matches
+        )
+        if candidate is None:
+            self.kf_db.add(self.current_kf)
+            self.current_kf.set_erase()
+            return False
+
+        self.matched_kf = candidate
+        self.current_kf.set_erase()
+        return True
+
+    def correct_loop(self) -> None:
+        """LoopClosing.cc:101-115."""
+        self._log("Loop detected!")
+        self.full_ba_idx = True
+        self.current_kf.update_connections()
+        self.run_global_bundle_adjustment(self.current_kf.id)
+        if self.local_mapper is not None:
+            self.local_mapper.release()
+        self.last_loop_kf_id = self.current_kf.id
+
+    def run_global_bundle_adjustment(self, loop_kf_id: int) -> None:
+        """Global BA + spanning-tree propagation (LoopClosing.cc:122-199)."""
+        self._log("Starting Global Bundle Adjustment")
+        run_global_ba(self.map, n_iters=10, robust=False, loop_kf=loop_kf_id)
+        self._log("Global Bundle Adjustment finished")
+        self._log("Updating map ...")
+
+        # propagate corrections through the spanning tree (139-161)
+        to_check = list(self.map.keyframe_origins)
+        while to_check:
+            kf = to_check.pop(0)
+            Twc = kf.get_pose_inverse()
+            for child in kf.children:
+                if child.ba_global_for_kf != loop_kf_id:
+                    t_child_c = child.get_pose() @ Twc
+                    child.Tcw_gba = t_child_c @ kf.Tcw_gba
+                    child.ba_global_for_kf = loop_kf_id
+                to_check.append(child)
+            kf.Tcw_bef_gba = kf.get_pose()
+            kf.set_pose(kf.Tcw_gba)
+
+        # map points: apply staged result or re-anchor via reference KF (163-192)
+        for mp in self.map.all_map_points():
+            if mp.is_bad:
+                continue
+            if mp.ba_global_for_kf == loop_kf_id:
+                mp.set_world_pos(mp.pos_gba)
+            else:
+                ref = mp.ref_kf
+                if ref.ba_global_for_kf != loop_kf_id:
+                    continue
+                Rcw = ref.Tcw_bef_gba[:3, :3]
+                tcw = ref.Tcw_bef_gba[:3, 3]
+                Xc = Rcw @ mp.world_pos + tcw
+                Twc = ref.get_pose_inverse()
+                mp.set_world_pos(Twc[:3, :3] @ Xc + Twc[:3, 3])
+
+        self.map.inform_new_big_change()
+        if self.local_mapper is not None:
+            self.local_mapper.release()
+        self._log("Map updated!")

@@ -1,0 +1,149 @@
+"""System facade: the public API of the framework.
+
+Capability twin of the reference System (slam_pipeline/include/System.h:43-107,
+src/System.cc): the host application composes a FeatureMatcher, a
+KeyFrameDatabase, and frame factories, then drives TrackMonocular per frame.
+The per-frame superloop is sequential by design (reference difference #4):
+tracker -> LocalMapping.run() -> LoopClosing.run() (System.cc:63-75).
+
+Method surface mirrors the reference: track_monocular, reset, map_changed,
+save_keyframe_trajectory_tum, get_current_position, get_all_map_points,
+get_current_match_image, start_gui/stop_gui, toggle_initialization_allowed,
+set_minimum_keyframes — plus TPU-era extras (save/load_checkpoint,
+last_metrics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mono_slam_framework_tpu.geometry import se3
+from mono_slam_framework_tpu.slam.frame import FrameFactory
+from mono_slam_framework_tpu.slam.local_mapping import LocalMapping
+from mono_slam_framework_tpu.slam.loop_closing import LoopClosing
+from mono_slam_framework_tpu.slam.map_model import KeyFrameFactory, Map
+from mono_slam_framework_tpu.slam.tracking import Tracking
+from mono_slam_framework_tpu.viz.map_drawer import MapDrawer
+
+import jax.numpy as jnp
+
+
+class System:
+    def __init__(
+        self,
+        parameters,
+        feature_matcher,
+        keyframe_database,
+        frame_factory: FrameFactory | None = None,
+        keyframe_factory: KeyFrameFactory | None = None,
+        verbose: bool = True,
+        rng_seed: int = 0,
+    ):
+        self.params = parameters
+        self.matcher = feature_matcher
+        self.kf_db = keyframe_database
+        frame_factory = frame_factory or FrameFactory()
+        keyframe_factory = keyframe_factory or KeyFrameFactory()
+
+        self.map = Map()
+        self.map_drawer = MapDrawer(self.map)
+        self.tracker = Tracking(
+            self.map_drawer,
+            self.map,
+            self.kf_db,
+            parameters,
+            feature_matcher,
+            frame_factory,
+            keyframe_factory,
+            verbose=verbose,
+            rng_seed=rng_seed,
+        )
+        self.local_mapper = LocalMapping(
+            self.map, feature_matcher, parameters, verbose=verbose
+        )
+        self.loop_closer = LoopClosing(
+            self.map, self.kf_db, feature_matcher, parameters, verbose=verbose
+        )
+        self.tracker.local_mapper = self.local_mapper
+        self.tracker.loop_closer = self.loop_closer
+        self.local_mapper.set_loop_closer(self.loop_closer)
+        self.loop_closer.set_local_mapper(self.local_mapper)
+
+        self._current_position: np.ndarray | None = None
+        self._big_change_seen = 0
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, image, timestamp: float) -> None:
+        """Per-frame sequential superloop (System.cc:63-75)."""
+        tcw = self.tracker.grab_image_monocular(image, timestamp)
+        self.local_mapper.run()
+        self.loop_closer.run()
+        self._current_position = tcw
+
+    def map_changed(self) -> bool:
+        """Big-change polling (System.cc:77-85)."""
+        cur = self.map.get_last_big_change_idx()
+        if self._big_change_seen < cur:
+            self._big_change_seen = cur
+            return True
+        return False
+
+    def reset(self) -> None:
+        self.tracker.reset()
+
+    def save_keyframe_trajectory_tum(self, filename: str) -> None:
+        """TUM-format export `t x y z qx qy qz qw` (System.cc:89-122,
+        quaternion order per Converter.cc:113-124)."""
+        print(f"\nSaving keyframe trajectory to {filename} ...")
+        kfs = sorted(self.map.all_keyframes(), key=lambda kf: kf.id)
+        with open(filename, "w") as f:
+            for kf in kfs:
+                if kf.is_bad:
+                    continue
+                Rwc = kf.get_rotation_inverse()
+                q = np.asarray(se3.rotation_to_quaternion(jnp.asarray(Rwc)))
+                t = kf.get_camera_center()
+                f.write(
+                    f"{kf.timestamp:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+        print("\ntrajectory saved!")
+
+    def start_gui(self) -> None:
+        self.map_drawer.start()
+
+    def stop_gui(self) -> None:
+        self.map_drawer.stop()
+
+    def set_minimum_keyframes(self, n: int) -> None:
+        self.tracker.set_minimum_keyframes(n)
+
+    def get_current_position(self):
+        return self._current_position
+
+    def get_all_map_points(self):
+        return self.map.all_map_points()
+
+    def get_current_match_image(self):
+        return self.tracker.get_current_match_image()
+
+    def toggle_initialization_allowed(self) -> None:
+        self.tracker.toggle_initialization_allowed()
+
+    # -- TPU-era extras ----------------------------------------------------
+    @property
+    def last_metrics(self) -> dict:
+        """Structured per-frame metrics (SURVEY.md §5 observability)."""
+        return self.tracker.last_metrics
+
+    def save_checkpoint(self, path: str) -> None:
+        """Full-map snapshot (reference has trajectory export only —
+        SURVEY.md §5 checkpoint row calls for adding this)."""
+        from mono_slam_framework_tpu.io import checkpoint
+
+        checkpoint.save_map(path, self.map)
+
+    def load_checkpoint(self, path: str) -> None:
+        from mono_slam_framework_tpu.io import checkpoint
+
+        checkpoint.load_map(path, self.map, self.kf_db, self.params)

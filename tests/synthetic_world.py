@@ -1,0 +1,116 @@
+"""Synthetic textured-plane world for end-to-end pipeline tests.
+
+Renders geometrically consistent views of a textured plane from arbitrary
+camera poses (plane at z = PLANE_Z in world coords, camera looking +z).
+Ground-truth trajectory comes for free, standing in for the TUM sequences
+that are unavailable in this zero-egress environment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class PlaneWorld:
+    def __init__(
+        self,
+        width=320,
+        height=240,
+        f=250.0,
+        plane_z=5.0,
+        second_plane=(3.5, 0.9),  # (z, world-x threshold) or None for planar
+        tex_size=2048,
+        tex_scale=100.0,  # texture pixels per world unit
+        seed=7,
+    ):
+        self.w, self.h, self.f = width, height, f
+        self.cx, self.cy = width / 2.0, height / 2.0
+        self.plane_z = plane_z
+        # A second, closer plane for world x > threshold breaks the planar
+        # two-view degeneracy (a single plane admits the homography ambiguity
+        # family, which lets BA slide the baseline direction).
+        self.second_plane = second_plane
+        self.tex_scale = tex_scale
+        rng = np.random.default_rng(seed)
+        # feature-rich smooth texture: upsampled random grid + salt blocks
+        coarse = rng.uniform(0, 255, (tex_size // 16, tex_size // 16))
+        tex = np.kron(coarse, np.ones((16, 16)))
+        # add high-contrast corner-rich squares
+        for _ in range(400):
+            y = rng.integers(0, tex_size - 24)
+            x = rng.integers(0, tex_size - 24)
+            s = rng.integers(6, 20)
+            tex[y : y + s, x : x + s] = rng.uniform(0, 255)
+        self.tex = tex.astype(np.float32)
+        self.tex_size = tex_size
+
+    @property
+    def K(self):
+        return np.array(
+            [[self.f, 0, self.cx], [0, self.f, self.cy], [0, 0, 1]], np.float32
+        )
+
+    def render(self, Tcw: np.ndarray) -> np.ndarray:
+        """[H,W] f32 view of the plane from world->camera pose Tcw."""
+        Rcw = Tcw[:3, :3]
+        tcw = Tcw[:3, 3]
+        Rwc = Rcw.T
+        Ow = -Rwc @ tcw
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        d_cam = np.stack(
+            [(uu - self.cx) / self.f, (vv - self.cy) / self.f, np.ones_like(uu)],
+            axis=-1,
+        ).astype(np.float64)
+        d_world = d_cam @ Rwc.T
+        dz = d_world[..., 2]
+        dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+        t = (self.plane_z - Ow[2]) / dz
+        px = Ow[0] + t * d_world[..., 0]
+        py = Ow[1] + t * d_world[..., 1]
+        if self.second_plane is not None:
+            z2, x_th = self.second_plane
+            t2 = (z2 - Ow[2]) / dz
+            px2 = Ow[0] + t2 * d_world[..., 0]
+            py2 = Ow[1] + t2 * d_world[..., 1]
+            use2 = px2 > x_th  # nearer plane occupies world x > threshold
+            t = np.where(use2, t2, t)
+            px = np.where(use2, px2, px)
+            py = np.where(use2, py2, py)
+        tx = px * self.tex_scale + self.tex_size / 2.0
+        ty = py * self.tex_scale + self.tex_size / 2.0
+        # bilinear sample with border clamp
+        x0 = np.clip(np.floor(tx).astype(int), 0, self.tex_size - 2)
+        y0 = np.clip(np.floor(ty).astype(int), 0, self.tex_size - 2)
+        fx = np.clip(tx - x0, 0, 1)
+        fy = np.clip(ty - y0, 0, 1)
+        tex = self.tex
+        img = (
+            tex[y0, x0] * (1 - fx) * (1 - fy)
+            + tex[y0, x0 + 1] * fx * (1 - fy)
+            + tex[y0 + 1, x0] * (1 - fx) * fy
+            + tex[y0 + 1, x0 + 1] * fx * fy
+        )
+        # invalid (behind camera) -> mid gray
+        img = np.where(t > 0, img, 128.0)
+        return img.astype(np.float32)
+
+
+def lateral_trajectory(n_frames: int, step: float = 0.06, yaw_step: float = 0.0):
+    """Ground-truth world->camera poses for a laterally translating camera."""
+    poses = []
+    for i in range(n_frames):
+        yaw = yaw_step * i
+        R = np.array(
+            [
+                [np.cos(yaw), 0, np.sin(yaw)],
+                [0, 1, 0],
+                [-np.sin(yaw), 0, np.cos(yaw)],
+            ],
+            np.float64,
+        )
+        Ow = np.array([i * step, 0.015 * (i % 3), 0.0])
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = R
+        Tcw[:3, 3] = -R @ Ow
+        poses.append(Tcw.astype(np.float32))
+    return poses
