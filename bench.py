@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: TPU compiles of the 8-level pyramid are
+    # minutes-long; cache them across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mono_slam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mono_slam_framework_tpu.ops import hamming, orb

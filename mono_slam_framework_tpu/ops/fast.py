@@ -26,9 +26,9 @@ ARC_LEN = 9  # FAST-9: at least 9 contiguous circle pixels
 
 
 def _ring(img):
-    """[16, H, W] circle-neighbor intensities via static rolls."""
+    """[16, ..., H, W] circle-neighbor intensities via static rolls."""
     return jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE], axis=0
+        [jnp.roll(img, (-dy, -dx), axis=(-2, -1)) for dy, dx in CIRCLE], axis=0
     )
 
 
@@ -36,14 +36,14 @@ def fast_score_map(img, threshold=20.0):
     """FAST-9 corner mask and score for every pixel.
 
     Args:
-      img: [H, W] float grayscale (0..255).
+      img: [..., H, W] float grayscale (0..255); leading dims batch (e.g. the
+        padded pyramid stack).
       threshold: intensity difference threshold (OpenCV fastThreshold=20).
 
     Returns:
-      (is_corner bool [H,W], score f32 [H,W]) where score is the OpenCV-style
-      FAST score: max over valid arcs of the min absolute difference along the
-      arc (a lower bound of "the largest threshold at which this is still a
-      corner"). Borders (3 px) are never corners.
+      (is_corner bool [..., H, W], score f32 [..., H, W]) where score is the
+      OpenCV-style FAST score: max over valid arcs of the min absolute
+      difference along the arc. Borders (3 px) are never corners.
     """
     ring = _ring(img)
     diff = ring - img[None]
@@ -74,7 +74,7 @@ def fast_score_map(img, threshold=20.0):
     score = jnp.where(is_corner, score, 0.0)
 
     # Mask the 3px border the rolls wrapped around.
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
@@ -108,7 +108,12 @@ def detect(img, max_corners, threshold=20.0, border=31):
     # 3x3 non-max suppression on the candidate response.
     nms = cand >= filters.max_pool_3x3_same(cand)
     score = jnp.where(nms, cand, -jnp.inf)
-    vals, idx = jax.lax.top_k(score.reshape(-1), max_corners)
+    # approx_max_k is the TPU-native selection primitive — a full top_k sorts
+    # all H*W scores (hundreds of ms per level); approximate selection of
+    # corner responses is exactly the use-case it exists for.
+    vals, idx = jax.lax.approx_max_k(
+        score.reshape(-1), max_corners, recall_target=0.95
+    )
     ys = idx // w
     xs = idx - ys * w
     valid = jnp.isfinite(vals)

@@ -15,15 +15,17 @@ import numpy as np
 
 
 def _conv2d_single(img, kernel):
-    """SAME 2D convolution of [H,W] with [kh,kw] (zero padding)."""
+    """SAME 2D convolution with [kh,kw] (zero padding). img: [H,W] or [B,H,W]."""
+    batched = img.ndim == 3
+    x = img[:, None] if batched else img[None, None]
     out = jax.lax.conv_general_dilated(
-        img[None, None],
+        x,
         kernel[None, None].astype(img.dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out[0, 0]
+    return out[:, 0] if batched else out[0, 0]
 
 
 def sep_conv2d(img, kx, ky):
@@ -64,12 +66,13 @@ def resize_bilinear(img, new_hw):
 
 
 def max_pool_3x3_same(x):
-    """3x3 max filter with SAME padding (for non-max suppression)."""
+    """3x3 max filter with SAME padding over the last two dims (for NMS)."""
+    lead = (1,) * (x.ndim - 2)
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(3, 3),
-        window_strides=(1, 1),
+        window_dimensions=lead + (3, 3),
+        window_strides=(1,) * x.ndim,
         padding="SAME",
     )
