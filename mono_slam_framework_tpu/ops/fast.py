@@ -82,11 +82,24 @@ def fast_score_map(img, threshold=20.0):
 
 
 def harris_response(img, block_size=7, k=0.04):
-    """Harris corner response (cv::ORB ranks FAST corners by Harris)."""
-    ix, iy = filters.sobel(img)
-    sxx = filters.box_blur(ix * ix, block_size)
-    syy = filters.box_blur(iy * iy, block_size)
-    sxy = filters.box_blur(ix * iy, block_size)
+    """Harris corner response (cv::ORB ranks FAST corners by Harris).
+
+    Derivatives and the three window sums run as grouped multi-channel
+    depthwise convs so the whole response is a handful of well-vectorized
+    conv kernels instead of nine single-channel passes.
+    """
+    d = jnp.asarray([-1.0, 0.0, 1.0], img.dtype)
+    s = jnp.asarray([1.0, 2.0, 1.0], img.dtype)
+    two = jnp.stack([img, img])
+    grads = filters.depthwise_sep_conv(
+        two, jnp.stack([d, s]), jnp.stack([s, d])
+    )  # [2,H,W]: ix, iy
+    ix, iy = grads[0], grads[1]
+    prods = jnp.stack([ix * ix, iy * iy, ix * iy])
+    box = jnp.full((block_size,), 1.0 / block_size, img.dtype)
+    boxes = jnp.stack([box, box, box])
+    sums = filters.depthwise_sep_conv(prods, boxes, boxes)  # [3,H,W]
+    sxx, syy, sxy = sums[0], sums[1], sums[2]
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
     return det - k * tr * tr

@@ -34,6 +34,35 @@ def sep_conv2d(img, kx, ky):
     return _conv2d_single(out, jnp.asarray(kx)[None, :])
 
 
+def depthwise_sep_conv(x, kxs, kys):
+    """Per-channel separable SAME convolution.
+
+    x: [C, H, W]; kxs/kys: [C, k] per-channel 1-D kernels. One grouped conv
+    per axis — C channels ride the conv batch together instead of C separate
+    single-channel programs (much better VPU utilization on TPU).
+    """
+    c = x.shape[0]
+    kys = jnp.asarray(kys).astype(x.dtype)
+    kxs = jnp.asarray(kxs).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x[None],
+        kys[:, None, :, None],  # [C,1,k,1]
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out,
+        kxs[:, None, None, :],  # [C,1,1,k]
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
+
+
 @functools.lru_cache(maxsize=None)
 def _gaussian_kernel_np(size: int, sigma: float):
     x = np.arange(size) - (size - 1) / 2.0

@@ -86,33 +86,50 @@ def _per_level_budget(total: int):
     return [int(b) for b in budget]
 
 
-def _moment_maps(pyr):
-    """Square-patch intensity moments (m10, m01) via separable 31-tap convs."""
+def _moment_maps(img):
+    """Square-patch intensity moments (m10, m01) via one grouped separable
+    31-tap conv pair over a 2-channel stack."""
     r = PATCH_RADIUS
-    ones = jnp.ones(2 * r + 1, pyr.dtype)
-    # conv flips the kernel; negate the linear weights to get correlation
-    ramp = -jnp.arange(-r, r + 1, dtype=pyr.dtype)
-    m10 = filters.sep_conv2d(pyr, ramp, ones)  # x-weighted cols, box rows
-    m01 = filters.sep_conv2d(pyr, ones, ramp)
-    return m10, m01
+    ones = jnp.ones(2 * r + 1, img.dtype)
+    # lax convs are cross-correlations: the raw ramp gives m10 = sum dx*I(x+dx)
+    ramp = jnp.arange(-r, r + 1, dtype=img.dtype)
+    out = filters.depthwise_sep_conv(
+        jnp.stack([img, img]),
+        jnp.stack([ramp, ones]),  # kx per channel
+        jnp.stack([ones, ramp]),  # ky per channel
+    )
+    return out[0], out[1]
 
 
-def _extract_level(img_l, k_l: int, fast_threshold: float):
+def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     """Detection + orientation + descriptors for one pyramid level.
 
     Runs at the level's true resolution (padding the stack to level-0 size
     costs 2.5x the pixels and measures slower on TPU than 8 lean per-level
-    programs fused into one jit).
+    programs fused into one jit). On TPU the full-image stage (FAST + Harris
+    + NMS + moments + blur) is one fused Pallas kernel (ops/pallas_detect).
     """
     h, w = img_l.shape
-    is_corner, _ = fast.fast_score_map(img_l, fast_threshold)
-    harris = fast.harris_response(img_l)
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    inside = (yy >= BORDER) & (yy < h - BORDER) & (xx >= BORDER) & (xx < w - BORDER)
-    cand = jnp.where(is_corner & inside, harris, -jnp.inf)
-    nms = cand >= filters.max_pool_3x3_same(cand)
-    score = jnp.where(nms, cand, -jnp.inf)
+    if use_fused:
+        from mono_slam_framework_tpu.ops import pallas_detect
+
+        score, m10, m01, blur = pallas_detect.detect_stage(
+            img_l, fast_threshold, BORDER
+        )
+    else:
+        is_corner, _ = fast.fast_score_map(img_l, fast_threshold)
+        harris = fast.harris_response(img_l)
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        inside = (
+            (yy >= BORDER) & (yy < h - BORDER) & (xx >= BORDER) & (xx < w - BORDER)
+        )
+        cand = jnp.where(is_corner & inside, harris, -jnp.inf)
+        nms = cand >= filters.max_pool_3x3_same(cand)
+        score = jnp.where(nms, cand, -jnp.inf)
+        m10, m01 = _moment_maps(img_l)
+        blur = filters.gaussian_blur(img_l)
+
     vals, flat_idx = jax.lax.approx_max_k(
         score.reshape(-1), k_l, recall_target=0.95
     )
@@ -120,13 +137,9 @@ def _extract_level(img_l, k_l: int, fast_threshold: float):
     xs = flat_idx - ys * w
     valid = jnp.isfinite(vals)
 
-    # orientation via separable square-moment maps (2 gathers per keypoint)
-    m10, m01 = _moment_maps(img_l)
+    # orientation via the moment maps (2 gathers per keypoint)
     flat = ys * w + xs
     ang = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
-
-    # descriptors from the blurred level
-    blur = filters.gaussian_blur(img_l)
     pat = jnp.asarray(_brief_pattern_np())  # [256, 2, 2] (pair, pt, yx)
     c, s = jnp.cos(ang), jnp.sin(ang)  # [k]
     py = pat[None, :, :, 0]
@@ -144,12 +157,20 @@ def _extract_level(img_l, k_l: int, fast_threshold: float):
     return xs, ys, ang, packed, vals, valid
 
 
-def extract(img, max_features: int, fast_threshold: float = 20.0) -> Features:
+def extract(
+    img,
+    max_features: int,
+    fast_threshold: float = 20.0,
+    use_fused: bool | None = None,
+) -> Features:
     """ORB features over an 8-level pyramid. img: [H, W] f32 grayscale.
 
     Jit-friendly: static shapes throughout; returns exactly the summed
-    per-level budgets worth of slots with a validity mask.
+    per-level budgets worth of slots with a validity mask. `use_fused`
+    selects the Pallas fused detection kernel (default: on TPU backends).
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     h0, w0 = img.shape
     dims = _level_dims(h0, w0)
     budgets = _per_level_budget(max_features)
@@ -162,7 +183,7 @@ def extract(img, max_features: int, fast_threshold: float = 20.0) -> Features:
         else:
             img_l = filters.resize_bilinear(img, dims[l])
         xs, ys, ang, desc, vals, valid = _extract_level(
-            img_l, budgets[l], fast_threshold
+            img_l, budgets[l], fast_threshold, use_fused
         )
         xy0 = (
             jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale

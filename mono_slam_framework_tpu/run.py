@@ -1,0 +1,113 @@
+"""Dataset runner: the application layer of the framework.
+
+Replaces the reference's Webots robot controller (src/main.cpp) as the host
+application: builds matcher + database + factories, composes a System
+(main.cpp:78-82 wiring), drives TrackMonocular per frame (122-128) and
+exports the TUM keyframe trajectory. The reference's manual initialization
+gate (keyboard 'I', main.cpp:173-175) becomes `--init-frame` (toggle after N
+frames; default 0 = immediately).
+
+Usage:
+  python -m mono_slam_framework_tpu.run --dataset tum --path <seq_dir> \
+      --matcher orb --fx 517.3 --fy 516.5 --cx 318.6 --cy 255.3 \
+      --out traj.txt [--max-frames N] [--ate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_matcher(name: str, args):
+    if name == "orb":
+        from mono_slam_framework_tpu.matchers import OrbFeatureMatcher
+
+        return OrbFeatureMatcher(
+            threshold=args.ratio, max_features=args.features
+        )
+    if name == "loftr":
+        from mono_slam_framework_tpu.matchers.loftr_matcher import (
+            LoftrFeatureMatcher,
+        )
+
+        return LoftrFeatureMatcher(
+            model_path=args.loftr_model, threshold=args.loftr_threshold
+        )
+    raise SystemExit(f"unknown matcher {name!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["tum", "kitti", "euroc"], required=True)
+    p.add_argument("--path", required=True, help="sequence directory")
+    p.add_argument("--matcher", choices=["orb", "loftr"], default="orb")
+    p.add_argument("--fx", type=float, required=True)
+    p.add_argument("--fy", type=float, required=True)
+    p.add_argument("--cx", type=float, required=True)
+    p.add_argument("--cy", type=float, required=True)
+    p.add_argument("--features", type=int, default=2000)
+    p.add_argument("--ratio", type=float, default=0.6, help="Lowe ratio (main.cpp:66)")
+    p.add_argument("--loftr-model", default="/root/reference/model/LoFTR_teacher.onnx")
+    p.add_argument("--loftr-threshold", type=float, default=0.1)
+    p.add_argument("--out", default="trajectory_tum.txt")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--init-frame", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--ate", action="store_true", help="evaluate vs groundtruth.txt")
+    p.add_argument("--map-out", default="", help="save final map checkpoint (.npz)")
+    args = p.parse_args(argv)
+
+    from mono_slam_framework_tpu.io.datasets import LOADERS, load_tum_groundtruth
+    from mono_slam_framework_tpu.matchers import OrbFeatureMatcher  # noqa
+    from mono_slam_framework_tpu.params import SlamParameters
+    from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
+
+    matcher = build_matcher(args.matcher, args)
+    params = SlamParameters(
+        fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy, max_features=args.features
+    )
+    system = System(
+        params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet
+    )
+
+    t_start = time.perf_counter()
+    n = 0
+    for frame in LOADERS[args.dataset](args.path):
+        if n == args.init_frame:
+            system.toggle_initialization_allowed()
+        system.track_monocular(frame.image, frame.timestamp)
+        n += 1
+        if not args.quiet and n % 25 == 0:
+            print(f"[{n}] {system.last_metrics}")
+        if args.max_frames and n >= args.max_frames:
+            break
+    wall = time.perf_counter() - t_start
+
+    system.save_keyframe_trajectory_tum(args.out)
+    if args.map_out:
+        system.save_checkpoint(args.map_out)
+    summary = {
+        "frames": n,
+        "fps": round(n / wall, 2),
+        "keyframes": system.map.n_keyframes(),
+        "map_points": system.map.n_map_points(),
+        "final_state": system.last_metrics.get("state"),
+    }
+    if args.ate:
+        import numpy as np
+
+        from mono_slam_framework_tpu.io import trajectory
+
+        gt_t, gt_p, _ = load_tum_groundtruth(args.path)
+        t_est, p_est, _ = trajectory.read_tum(args.out)
+        ate, n_assoc = trajectory.ate_rmse(t_est, p_est, gt_t, gt_p)
+        summary["ate_rmse"] = round(ate, 4)
+        summary["ate_pairs"] = n_assoc
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

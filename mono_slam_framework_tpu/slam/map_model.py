@@ -25,13 +25,27 @@ from mono_slam_framework_tpu.slam.frame import Frame, FrameBase
 COVIS_THRESHOLD = 15  # KeyFrame.cc:223
 
 
+def _try_native_graph():
+    try:
+        from mono_slam_framework_tpu import native
+
+        if native.available():
+            return native.ObservationGraph()
+    except Exception:
+        pass
+    return None
+
+
 class Map:
-    def __init__(self):
+    def __init__(self, use_native_graph: bool = True):
         self.keyframes: set = set()
         self.map_points: set = set()
         self.max_kf_id = 0
         self.big_change_idx = 0
         self.keyframe_origins: list = []
+        # native C++ observation/covisibility core (ctypes); None -> Python
+        self.obs_graph = _try_native_graph() if use_native_graph else None
+        self.kf_registry: dict[int, "KeyFrame"] = {}
 
     def add_keyframe(self, kf) -> None:
         self.keyframes.add(kf)
@@ -73,6 +87,9 @@ class Map:
         self.map_points.clear()
         self.max_kf_id = 0
         self.keyframe_origins.clear()
+        self.kf_registry.clear()
+        if self.obs_graph is not None:
+            self.obs_graph.clear()
 
 
 class MapPoint:
@@ -111,12 +128,16 @@ class MapPoint:
             return
         self.observations[kf] = (int(keypoint[0]), int(keypoint[1]))
         self.n_obs += 1
+        if self.map is not None and self.map.obs_graph is not None:
+            self.map.obs_graph.add(self.id, kf.id)
 
     def erase_observation(self, kf) -> None:
         if kf not in self.observations:
             return
         del self.observations[kf]
         self.n_obs -= 1
+        if self.map is not None and self.map.obs_graph is not None:
+            self.map.obs_graph.erase(self.id, kf.id)
         if self.ref_kf is kf and self.observations:
             self.ref_kf = next(iter(self.observations))
         # <=2 observations -> discard (MapPoint.cc:114)
@@ -129,6 +150,8 @@ class MapPoint:
         self.observations.clear()
         for kf, kp in obs.items():
             kf.erase_map_point_match_at(kp)
+        if self.map.obs_graph is not None:
+            self.map.obs_graph.erase_map_point(self.id)
         self.map.erase_map_point(self)
 
     def replace(self, other: "MapPoint") -> None:
@@ -139,6 +162,8 @@ class MapPoint:
         self.observations.clear()
         self.is_bad = True
         self.replaced_by = other
+        if self.map.obs_graph is not None:
+            self.map.obs_graph.erase_map_point(self.id)
         for kf, kp in obs.items():
             if kf not in other.observations:
                 kf.keypoint_map.set_map_point(kp, other)
@@ -217,6 +242,8 @@ class KeyFrame(FrameBase):
         self.Tcw_bef_gba = None
         self.id = KeyFrame.next_id
         KeyFrame.next_id += 1
+        if map_ is not None:
+            map_.kf_registry[self.id] = self
 
     # -- map point associations -------------------------------------------
     def add_map_point(self, mp: MapPoint, keypoint) -> None:
@@ -287,16 +314,30 @@ class KeyFrame(FrameBase):
         return self.connections.get(kf, 0)
 
     def update_connections(self) -> None:
-        """Rebuild covisibility from shared observations (KeyFrame.cc:191-262)."""
+        """Rebuild covisibility from shared observations (KeyFrame.cc:191-262).
+
+        Uses the native C++ observation graph when available (Map.obs_graph);
+        falls back to the Python dict scan. Minor divergence from the
+        reference: the native path counts distinct (map point, keyframe)
+        pairs, while the reference's KeyPointMap iteration would double-count
+        a map point that fused into two pixels of the same keyframe.
+        """
         counter: dict = {}
-        for _, item in self.keypoint_map.items():
-            mp = item.map_point
-            if mp is None or mp.is_bad:
-                continue
-            for kf in mp.observations:
-                if kf.id == self.id:
+        g = self.map.obs_graph if self.map is not None else None
+        if g is not None:
+            for kid, w in g.covis_counts(self.id).items():
+                kf = self.map.kf_registry.get(kid)
+                if kf is not None:
+                    counter[kf] = w
+        else:
+            for _, item in self.keypoint_map.items():
+                mp = item.map_point
+                if mp is None or mp.is_bad:
                     continue
-                counter[kf] = counter.get(kf, 0) + 1
+                for kf in mp.observations:
+                    if kf.id == self.id:
+                        continue
+                    counter[kf] = counter.get(kf, 0) + 1
         if not counter:
             return
         kf_max, n_max = None, 0

@@ -29,8 +29,16 @@ def world():
 def build_system(world, verbose=False):
     reset_frame_ids()
     reset_map_ids()
+    # minIniMatchCount=100 (upstream ORB-SLAM2's monocular value): the
+    # reference default of 25 accepts geometrically weak init pairs, which
+    # its operator-controlled manual gate compensates for interactively.
     params = SlamParameters(
-        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy, max_features=400
+        fx=world.f,
+        fy=world.f,
+        cx=world.cx,
+        cy=world.cy,
+        max_features=400,
+        minIniMatchCount=100,
     )
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=400)
     kf_db = KeyFrameMatchDatabase(matcher)

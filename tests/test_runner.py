@@ -1,0 +1,75 @@
+"""Dataset loader + runner CLI tests on a generated mini-TUM sequence."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from synthetic_world import PlaneWorld, lateral_trajectory
+
+
+@pytest.fixture(scope="module")
+def mini_tum(tmp_path_factory):
+    """Render a small TUM-format dataset (rgb.txt + PNGs + groundtruth)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("tum_seq")
+    world = PlaneWorld(second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(24, step=0.09)
+    os.makedirs(root / "rgb")
+    lines = []
+    gt_lines = []
+    for i, T in enumerate(poses):
+        ts = i * 0.1
+        img = world.render(T).astype(np.uint8)
+        name = f"rgb/{ts:.6f}.png"
+        Image.fromarray(img, "L").save(root / name)
+        lines.append(f"{ts:.6f} {name}")
+        Ow = -(T[:3, :3].T @ T[:3, 3])
+        gt_lines.append(
+            f"{ts:.6f} {Ow[0]:.6f} {Ow[1]:.6f} {Ow[2]:.6f} 0 0 0 1"
+        )
+    (root / "rgb.txt").write_text("# tum\n" + "\n".join(lines) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+    return root, world
+
+
+class TestDatasets:
+    def test_tum_loader(self, mini_tum):
+        from mono_slam_framework_tpu.io.datasets import load_tum
+
+        root, world = mini_tum
+        frames = list(load_tum(str(root)))
+        assert len(frames) == 24
+        assert frames[0].image.shape == (world.h, world.w)
+        assert frames[1].timestamp == pytest.approx(0.1)
+        assert frames[0].image.dtype == np.float32
+
+
+class TestRunner:
+    def test_cli_end_to_end(self, mini_tum, tmp_path, capsys):
+        from mono_slam_framework_tpu import run as runner
+
+        root, world = mini_tum
+        out = tmp_path / "traj.txt"
+        runner.main(
+            [
+                "--dataset", "tum",
+                "--path", str(root),
+                "--matcher", "orb",
+                "--fx", str(world.f), "--fy", str(world.f),
+                "--cx", str(world.cx), "--cy", str(world.cy),
+                "--features", "400",
+                "--ratio", "0.7",
+                "--out", str(out),
+                "--quiet",
+                "--ate",
+            ]
+        )
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["frames"] == 24
+        assert summary["keyframes"] >= 2
+        assert summary["final_state"] == "OK"
+        assert summary["ate_rmse"] < 0.12  # uint8 PNG quantization adds noise
+        assert out.exists()
