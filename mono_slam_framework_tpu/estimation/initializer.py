@@ -202,6 +202,30 @@ def reconstruct_h(H21, K, xy1, xy2, inliers, sigma2, min_parallax, min_triangula
     return ok, Rs[best], ts[best], X[best], good[best]
 
 
+@jax.jit
+def _essential_direct(xy1, xy2, valid, K, sigma):
+    """Direct (no-RANSAC) essential bootstrap used as an A/B oracle.
+
+    Counterpart of the reference's alternate Initializer::InitializeOpenCV
+    (Initializer.cc:39-73: cv::findEssentialMat + recoverPose): fit F on ALL
+    correspondences, decompose the essential matrix, pick the motion by
+    cheirality vote, triangulate.
+    """
+    n1, T1 = epipolar.normalize_points(xy1, valid)
+    n2, T2 = epipolar.normalize_points(xy2, valid)
+    F = T2.T @ epipolar.compute_fundamental(n1, n2, valid.astype(xy1.dtype)) @ T1
+    _, inl = epipolar.score_fundamental(F, xy1, xy2, valid, sigma)
+    E = K.T @ F @ K
+    R1, R2, t = epipolar.decompose_essential(E)
+    Rs = jnp.stack([R1, R2, R1, R2])
+    ts = jnp.stack([t, t, -t, -t])
+    ngood, par, X, good = jax.vmap(
+        lambda R, tt: check_rt(R, tt, xy1, xy2, inl, K, 4.0 * sigma * sigma)
+    )(Rs, ts)
+    best = jnp.argmax(ngood)
+    return Rs[best], ts[best], X[best], good[best], ngood[best]
+
+
 class Initializer:
     """Host-side driver with the reference's selection policy.
 
@@ -254,4 +278,32 @@ class Initializer:
             points3d=np.asarray(X),
             triangulated=np.asarray(good),
             used_homography=used_h,
+        )
+
+    def initialize_direct(
+        self,
+        xy1: np.ndarray,
+        xy2: np.ndarray,
+        min_triangulated: int = 25,
+        valid: np.ndarray | None = None,
+    ) -> InitResult:
+        """Non-RANSAC essential bootstrap (the reference's InitializeOpenCV
+        alternate, Initializer.cc:39-73) — useful as an independent oracle."""
+        xy1 = jnp.asarray(xy1, jnp.float32)
+        xy2 = jnp.asarray(xy2, jnp.float32)
+        valid_j = (
+            jnp.ones(xy1.shape[0], bool)
+            if valid is None
+            else jnp.asarray(valid, bool)
+        )
+        R, t, X, good, ngood = _essential_direct(
+            xy1, xy2, valid_j, self.K, jnp.float32(self.sigma)
+        )
+        return InitResult(
+            success=bool(ngood > min_triangulated),
+            R21=np.asarray(R),
+            t21=np.asarray(t),
+            points3d=np.asarray(X),
+            triangulated=np.asarray(good),
+            used_homography=False,
         )

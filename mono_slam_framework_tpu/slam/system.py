@@ -71,13 +71,21 @@ class System:
 
         self._current_position: np.ndarray | None = None
         self._big_change_seen = 0
+        # per-stage wall-clock accumulators (SURVEY.md §5 tracing row — the
+        # reference has none; stages are named after its modules)
+        from mono_slam_framework_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float) -> None:
         """Per-frame sequential superloop (System.cc:63-75)."""
-        tcw = self.tracker.grab_image_monocular(image, timestamp)
-        self.local_mapper.run()
-        self.loop_closer.run()
+        with self.timer.stage("tracking"):
+            tcw = self.tracker.grab_image_monocular(image, timestamp)
+        with self.timer.stage("local_mapping"):
+            self.local_mapper.run()
+        with self.timer.stage("loop_closing"):
+            self.loop_closer.run()
         self._current_position = tcw
 
     def map_changed(self) -> bool:

@@ -120,3 +120,24 @@ class TestInitializer:
         assert res.success
         assert not res.triangulated[len(uv1):].any()
         assert np.abs(res.R21 - R).max() < 2e-2
+
+
+class TestDirectOracle:
+    def test_direct_matches_ransac(self, rng, key):
+        """The no-RANSAC oracle (reference InitializeOpenCV path) must agree
+        with the RANSAC path on clean data."""
+        X, R, t, uv1, uv2 = general_scene(rng, noise=0.2)
+        init = Initializer(K)
+        res_r = init.initialize(uv1, uv2, key)
+        res_d = init.initialize_direct(uv1, uv2)
+        assert res_r.success and res_d.success
+        np.testing.assert_allclose(res_d.R21, res_r.R21, atol=5e-3)
+        t_r = res_r.t21 / np.linalg.norm(res_r.t21)
+        t_d = res_d.t21 / np.linalg.norm(res_d.t21)
+        np.testing.assert_allclose(t_d, t_r, atol=2e-2)
+
+    def test_direct_rejects_degenerate(self, rng):
+        X, _, _, uv1, _ = general_scene(rng, noise=0.0)
+        init = Initializer(K)
+        res = init.initialize_direct(uv1[:10], uv1[:10] + 0.01)
+        assert not res.success or res.triangulated.sum() < 25

@@ -73,3 +73,37 @@ class TestRunner:
         assert summary["final_state"] == "OK"
         assert summary["ate_rmse"] < 0.12  # uint8 PNG quantization adds noise
         assert out.exists()
+
+
+class TestAppUtils:
+    def test_gamma_corrector(self):
+        from mono_slam_framework_tpu.utils import GammaCorrector
+
+        g = GammaCorrector(1.0)
+        img = np.arange(256, dtype=np.float32).reshape(16, 16)
+        np.testing.assert_allclose(g(img), img, atol=0.5)
+        g.set_gamma(2.0)
+        out = g(img)
+        assert out[0, 1] < img[0, 1]  # gamma > 1 darkens midtones
+        assert abs(out[15, 15] - 255.0) < 1e-3
+
+    def test_async_driver_drops_when_busy(self, mini_tum):
+        import time
+
+        from mono_slam_framework_tpu.utils import AsyncSlamDriver
+
+        class SlowSystem:
+            def __init__(self):
+                self.calls = 0
+
+            def track_monocular(self, image, ts):
+                self.calls += 1
+                time.sleep(0.15)
+
+        sys_ = SlowSystem()
+        d = AsyncSlamDriver(sys_)
+        accepted = [d.feed(None, i * 0.01) or time.sleep(0.01) for i in range(10)]
+        d.close()
+        assert sys_.calls < 10  # frames were dropped while busy
+        assert d.frames_dropped > 0
+        assert d.frames_in == 10
