@@ -40,6 +40,7 @@ class System:
         rng_seed: int = 0,
     ):
         self.params = parameters
+        self.verbose = verbose
         self.matcher = feature_matcher
         self.kf_db = keyframe_database
         frame_factory = frame_factory or FrameFactory()
@@ -102,7 +103,8 @@ class System:
     def save_keyframe_trajectory_tum(self, filename: str) -> None:
         """TUM-format export `t x y z qx qy qz qw` (System.cc:89-122,
         quaternion order per Converter.cc:113-124)."""
-        print(f"\nSaving keyframe trajectory to {filename} ...")
+        if self.verbose:
+            print(f"\nSaving keyframe trajectory to {filename} ...")
         kfs = sorted(self.map.all_keyframes(), key=lambda kf: kf.id)
         with open(filename, "w") as f:
             for kf in kfs:
@@ -115,7 +117,8 @@ class System:
                     f"{kf.timestamp:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
-        print("\ntrajectory saved!")
+        if self.verbose:
+            print("\ntrajectory saved!")
 
     def start_gui(self) -> None:
         self.map_drawer.start()
