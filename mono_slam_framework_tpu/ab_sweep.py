@@ -31,6 +31,7 @@ def run_one(matcher_name: str, args) -> dict:
         fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy,
         max_features=args.features,
         minIniMatchCount=args.min_ini_matches,
+        initializerModelFallback=getattr(args, "model_fallback", False),
     )
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
 
@@ -84,6 +85,7 @@ def main(argv=None):
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--ratio", type=float, default=0.6)
     p.add_argument("--min-ini-matches", type=int, default=100)
+    p.add_argument("--model-fallback", action="store_true")
     p.add_argument("--loftr-model", default="/root/reference/model/LoFTR_teacher.onnx")
     p.add_argument("--loftr-threshold", type=float, default=0.1)
     p.add_argument("--max-frames", type=int, default=0)

@@ -233,10 +233,17 @@ class Initializer:
     pick by RH = SH/(SH+SF) > 0.40, reconstruct with the chosen model only.
     """
 
-    def __init__(self, K: np.ndarray, sigma: float = 1.0, iterations: int = 200):
+    def __init__(
+        self,
+        K: np.ndarray,
+        sigma: float = 1.0,
+        iterations: int = 200,
+        model_fallback: bool = False,
+    ):
         self.K = jnp.asarray(K, jnp.float32)
         self.sigma = float(sigma)
         self.iterations = int(iterations)
+        self.model_fallback = bool(model_fallback)
 
     def initialize(
         self,
@@ -259,18 +266,33 @@ class Initializer:
         )
         rh = float(sh) / max(float(sh) + float(sf), 1e-9)
         sigma2 = jnp.float32(self.sigma * self.sigma)
-        if rh > 0.40:
-            ok, R, t, X, good = reconstruct_h(
+
+        def try_h():
+            return reconstruct_h(
                 H, self.K, xy1, xy2, inl_h, sigma2,
                 jnp.float32(min_parallax), jnp.int32(min_triangulated),
             )
-            used_h = True
-        else:
-            ok, R, t, X, good = reconstruct_f(
+
+        def try_f():
+            return reconstruct_f(
                 F, self.K, xy1, xy2, inl_f, sigma2,
                 jnp.float32(min_parallax), jnp.int32(min_triangulated),
             )
-            used_h = False
+
+        # Model selection per the reference (RH > 0.40, Initializer.cc:142).
+        # With model_fallback=True (opt-in), a failed reconstruction retries
+        # the other model in the same attempt: on mostly-planar scenes RH
+        # hovers just above 0.40 while the Faugeras solution is genuinely
+        # ambiguous, so the fundamental path is the right model. The default
+        # matches the reference (fail this frame, retry on the next one) —
+        # the retry-with-more-baseline behavior doubles as a quality gate.
+        used_h = rh > 0.40
+        ok, R, t, X, good = try_h() if used_h else try_f()
+        if self.model_fallback and not bool(ok):
+            ok2, R2, t2, X2, good2 = try_f() if used_h else try_h()
+            if bool(ok2):
+                ok, R, t, X, good = ok2, R2, t2, X2, good2
+                used_h = not used_h
         return InitResult(
             success=bool(ok),
             R21=np.asarray(R),

@@ -5,17 +5,15 @@ src/featurematcher.cpp:4,15-17; OpenCV defaults: 500 features, 8 levels,
 scale 1.2, Harris ranking, intensity-centroid orientation, rBRIEF).
 
 TPU design notes:
-  * the whole 8-level pyramid is processed as ONE padded [8, H, W] batch —
-    FAST segment test, Harris response, NMS, per-level top-k selection,
-    orientation moments and the blur all run as batched full-stack ops (no
-    per-level program chains);
-  * orientation uses separable square-patch intensity moments (two pairs of
-    31-tap 1-D convolutions over the stack) — the circular patch of OpenCV is
-    approximated by its bounding square, trading exact OpenCV parity for a
-    fully vectorized, gather-free moment computation;
+  * each pyramid level runs at its true resolution inside one jitted program;
+    on TPU the full-image stage (FAST + Harris + NMS + moments + blur) is the
+    fused Pallas kernel in ops/pallas_detect (one VMEM-resident pass);
+  * orientation uses square-patch intensity moments (the circular patch of
+    OpenCV is approximated by its bounding square), computed as full-image
+    maps so per-keypoint work is two gathers — no patch extraction;
   * keypoint selection uses `approx_max_k` (the TPU-native selection
     primitive) per level with OpenCV's geometric per-level budgets;
-  * descriptors sample a pre-blurred stack at 512 rotated pattern offsets per
+  * descriptors sample a pre-blurred level at 256 shared rotated pattern points per
     keypoint — one flat gather, no per-keypoint control flow;
   * the rBRIEF test pattern is a fixed seeded Gaussian pattern (the ORB paper
     construction), NOT OpenCV's learned table; both frames use the same
@@ -52,11 +50,24 @@ class Features(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _brief_pattern_np(seed: int = 1234):
-    """[256, 2, 2] (pair, point, yx) int offsets, Gaussian sigma patch/5."""
+    """(points [256, 2] (yx), perm [256]) — shared-point rBRIEF pattern.
+
+    Gaussian offsets (sigma patch/5, the ORB paper construction) with bit i
+    comparing point[i] against point[perm[i]] (a fixed derangement). Reusing
+    the 256 sampled points across pairs halves the gather count per keypoint
+    (512 -> 256 image samples) — the descriptor gather is the dominant cost
+    of extraction on TPU.
+    """
     rng = np.random.default_rng(seed)
-    pts = rng.normal(0.0, (2 * PATCH_RADIUS + 1) / 5.0, size=(N_BITS, 2, 2))
-    pts = np.clip(np.round(pts), -13, 13)
-    return pts.astype(np.float32)
+    pts = rng.normal(0.0, (2 * PATCH_RADIUS + 1) / 5.0, size=(N_BITS, 2))
+    pts = np.clip(np.round(pts), -13, 13).astype(np.float32)
+    perm = rng.permutation(N_BITS)
+    # make it a derangement so no bit compares a point with itself
+    fixed = np.nonzero(perm == np.arange(N_BITS))[0]
+    for i in fixed:
+        j = (i + 1) % N_BITS
+        perm[i], perm[j] = perm[j], perm[i]
+    return pts, perm.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -140,16 +151,20 @@ def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     # orientation via the moment maps (2 gathers per keypoint)
     flat = ys * w + xs
     ang = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
-    pat = jnp.asarray(_brief_pattern_np())  # [256, 2, 2] (pair, pt, yx)
+    # descriptors: 256 shared rotated sample points per keypoint; bit i
+    # compares point i against point perm[i] (halves the dominant gather)
+    pts_np, perm_np = _brief_pattern_np()
+    pat = jnp.asarray(pts_np)  # [256, 2] (yx)
+    perm = jnp.asarray(perm_np)
     c, s = jnp.cos(ang), jnp.sin(ang)  # [k]
-    py = pat[None, :, :, 0]
-    px = pat[None, :, :, 1]
-    rx = jnp.round(px * c[:, None, None] - py * s[:, None, None]).astype(jnp.int32)
-    ry = jnp.round(px * s[:, None, None] + py * c[:, None, None]).astype(jnp.int32)
-    sx = jnp.clip(xs[:, None, None] + rx, 0, w - 1)  # [k,256,2]
-    sy = jnp.clip(ys[:, None, None] + ry, 0, h - 1)
-    vals_b = blur.reshape(-1)[((sy * w) + sx).reshape(-1)].reshape(k_l, N_BITS, 2)
-    bits = (vals_b[..., 0] < vals_b[..., 1]).astype(jnp.uint32)
+    py = pat[None, :, 0]
+    px = pat[None, :, 1]
+    rx = jnp.round(px * c[:, None] - py * s[:, None]).astype(jnp.int32)
+    ry = jnp.round(px * s[:, None] + py * c[:, None]).astype(jnp.int32)
+    sx = jnp.clip(xs[:, None] + rx, 0, w - 1)  # [k,256]
+    sy = jnp.clip(ys[:, None] + ry, 0, h - 1)
+    samples = blur.reshape(-1)[((sy * w) + sx).reshape(-1)].reshape(k_l, N_BITS)
+    bits = (samples < samples[:, perm]).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     packed = jnp.sum(
         bits.reshape(k_l, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32

@@ -50,6 +50,10 @@ class SlamParameters:
     max_matches: int = 512
     # RANSAC iterations for two-view initialization (Initializer.cc:36).
     ransac_iterations: int = 200
+    # Retry the other two-view model (H<->F) when the selected one fails its
+    # reconstruction gates (off = reference behavior: fail and retry next
+    # frame; see QUIRKS.md).
+    initializerModelFallback: bool = False
     # Measurement sigma for initializer scoring (Initializer.cc:31).
     sigma: float = 1.0
 

@@ -50,8 +50,26 @@ def main(argv=None):
     p.add_argument("--cy", type=float, required=True)
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--ratio", type=float, default=0.6, help="Lowe ratio (main.cpp:66)")
+    p.add_argument(
+        "--min-ini-matches",
+        type=int,
+        default=100,
+        help="min matches to attempt initialization (reference default 25 is "
+        "weak without its interactive gate; 100 = upstream ORB-SLAM2)",
+    )
+    p.add_argument(
+        "--model-fallback",
+        action="store_true",
+        help="retry the other H/F model when the selected one fails (QUIRKS.md)",
+    )
     p.add_argument("--loftr-model", default="/root/reference/model/LoFTR_teacher.onnx")
     p.add_argument("--loftr-threshold", type=float, default=0.1)
+    p.add_argument(
+        "--gamma",
+        type=float,
+        default=1.0,
+        help="gamma LUT applied before tracking (reference main.cpp:21-39)",
+    )
     p.add_argument("--out", default="trajectory_tum.txt")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--init-frame", type=int, default=0)
@@ -67,18 +85,31 @@ def main(argv=None):
 
     matcher = build_matcher(args.matcher, args)
     params = SlamParameters(
-        fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy, max_features=args.features
+        fx=args.fx,
+        fy=args.fy,
+        cx=args.cx,
+        cy=args.cy,
+        max_features=args.features,
+        minIniMatchCount=args.min_ini_matches,
+        initializerModelFallback=args.model_fallback,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet
     )
+
+    gamma = None
+    if args.gamma != 1.0:
+        from mono_slam_framework_tpu.utils import GammaCorrector
+
+        gamma = GammaCorrector(args.gamma)
 
     t_start = time.perf_counter()
     n = 0
     for frame in LOADERS[args.dataset](args.path):
         if n == args.init_frame:
             system.toggle_initialization_allowed()
-        system.track_monocular(frame.image, frame.timestamp)
+        image = gamma(frame.image) if gamma is not None else frame.image
+        system.track_monocular(image, frame.timestamp)
         n += 1
         if not args.quiet and n % 25 == 0:
             print(f"[{n}] {system.last_metrics}")

@@ -107,6 +107,14 @@ def run_local_ba(current_kf, map_) -> None:
     cam_fixed = np.array(
         [kf.id == 0 for kf in local_kfs] + [True] * len(fixed_kfs), bool
     )
+    # Gauge anchoring: with no outside observers (every KF covisible — common
+    # in small or texture-dense maps) a monocular BA window has a FREE SCALE
+    # gauge and every solve slides the map scale. Anchor by fixing the two
+    # oldest window keyframes. (The reference inherits the same gauge freedom
+    # from g2o but real data usually provides fixed outside observers.)
+    if not fixed_kfs and cam_fixed.sum() < 2:
+        oldest = np.argsort([kf.id for kf in local_kfs])[:2]
+        cam_fixed[oldest] = True
     mp_index = {mp: i for i, mp in enumerate(local_mps)}
 
     e_cam, e_pt, e_uv, e_ref = [], [], [], []

@@ -120,6 +120,35 @@ class System:
         if self.verbose:
             print("\ntrajectory saved!")
 
+    def save_trajectory_tum(self, filename: str) -> None:
+        """Full per-frame trajectory export (upstream ORB-SLAM2's
+        SaveTrajectoryTUM; this fork kept only the keyframe variant). Each
+        frame's pose is re-anchored on its reference keyframe's CURRENT pose
+        (Tcw = Tcr * Tref), walking up the spanning tree through culled
+        keyframes via their stored Tcp."""
+        tr = self.tracker
+        with open(filename, "w") as f:
+            for tcr, ref, ts, lost in zip(
+                tr.relative_frame_poses, tr.references, tr.frame_times, tr.lost_flags
+            ):
+                if lost or ref is None:
+                    continue
+                trw = np.eye(4, dtype=np.float32)
+                kf = ref
+                while kf.is_bad and kf.parent is not None and kf.Tcp is not None:
+                    trw = trw @ kf.Tcp
+                    kf = kf.parent
+                if kf.Tcw is None:
+                    continue
+                tcw = tcr @ trw @ kf.Tcw
+                Rwc = tcw[:3, :3].T
+                q = np.asarray(se3.rotation_to_quaternion(jnp.asarray(Rwc)))
+                t = -Rwc @ tcw[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
     def start_gui(self) -> None:
         self.map_drawer.start()
 

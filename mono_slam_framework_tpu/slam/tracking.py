@@ -250,6 +250,9 @@ class Tracking:
                     self.current_frame.K,
                     sigma=self.params.sigma,
                     iterations=self.params.ransac_iterations,
+                    model_fallback=getattr(
+                        self.params, "initializerModelFallback", False
+                    ),
                 )
             return
 

@@ -26,10 +26,17 @@ class PlaneWorld:
         self.w, self.h, self.f = width, height, f
         self.cx, self.cy = width / 2.0, height / 2.0
         self.plane_z = plane_z
-        # A second, closer plane for world x > threshold breaks the planar
-        # two-view degeneracy (a single plane admits the homography ambiguity
-        # family, which lets BA slide the baseline direction).
-        self.second_plane = second_plane
+        # Closer planes for world x > threshold break the planar two-view
+        # degeneracy (a single plane admits the homography ambiguity family,
+        # and a DOMINANT plane makes 8-point F estimation ill-conditioned).
+        # `second_plane` may be one (z, x_threshold) pair or a list of them,
+        # applied in order (each overrides for x > threshold).
+        if second_plane is None:
+            self.extra_planes = []
+        elif isinstance(second_plane, tuple):
+            self.extra_planes = [second_plane]
+        else:
+            self.extra_planes = list(second_plane)
         self.tex_scale = tex_scale
         rng = np.random.default_rng(seed)
         # feature-rich smooth texture: upsampled random grid + salt blocks
@@ -67,8 +74,7 @@ class PlaneWorld:
         t = (self.plane_z - Ow[2]) / dz
         px = Ow[0] + t * d_world[..., 0]
         py = Ow[1] + t * d_world[..., 1]
-        if self.second_plane is not None:
-            z2, x_th = self.second_plane
+        for z2, x_th in self.extra_planes:
             t2 = (z2 - Ow[2]) / dz
             px2 = Ow[0] + t2 * d_world[..., 0]
             py2 = Ow[1] + t2 * d_world[..., 1]
