@@ -20,10 +20,13 @@ def save_map(path: str, map_) -> None:
     mp_by_obj = {mp: i for i, mp in enumerate(mps)}
 
     obs = []  # (mp_row, kf_id, x, y)
+    obs_meas = []  # (fx, fy) matching obs rows
     for i, mp in enumerate(mps):
         for kf, kp in mp.observations.items():
             if not kf.is_bad:
                 obs.append((i, kf.id, kp[0], kp[1]))
+                m = mp.measurement_in_keyframe(kf)
+                obs_meas.append((float(m[0]), float(m[1])))
 
     outliers = []  # (kf_row, index) — per-KF outlier flags
     for r, kf in enumerate(kfs):
@@ -58,6 +61,9 @@ def save_map(path: str, map_) -> None:
             [mp.ref_kf.id if mp.ref_kf is not None else -1 for mp in mps], np.int64
         ),
         observations=np.array(obs, np.int64) if obs else np.zeros((0, 4), np.int64),
+        obs_measurements=np.array(obs_meas, np.float64)
+        if obs_meas
+        else np.zeros((0, 2), np.float64),
         outliers=np.array(outliers, np.int64) if outliers else np.zeros((0, 2), np.int64),
     )
 
@@ -105,11 +111,15 @@ def load_map(path: str, map_, kf_db, params) -> None:
         map_.add_map_point(mp)
     MapPoint.next_id = max((mp.id for mp in mps), default=-1) + 1
 
-    for mp_row, kf_id, x, y in data["observations"]:
+    obs_meas = data.get("obs_measurements") if hasattr(data, "get") else None
+    if obs_meas is None and "obs_measurements" in getattr(data, "files", []):
+        obs_meas = data["obs_measurements"]
+    for r, (mp_row, kf_id, x, y) in enumerate(data["observations"]):
         mp = mps[mp_row]
         kf = kf_by_id[int(kf_id)]
-        mp.add_observation(kf, (int(x), int(y)))
-        kf.add_map_point(mp, (int(x), int(y)))
+        m = tuple(obs_meas[r]) if obs_meas is not None and len(obs_meas) else None
+        mp.add_observation(kf, (int(x), int(y)), measurement=m)
+        kf.keypoint_map.set_map_point((int(x), int(y)), mp, measurement=m)
 
     for kf in sorted(kf_by_id.values(), key=lambda k: k.id):
         kf.update_connections()

@@ -42,10 +42,28 @@ class MatchFramesResult:
     keypoints2: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 2), np.int32)
     )
+    # Optional subpixel coordinates (same rows as keypoints1/2). The public
+    # contract stays integer (FeatureMatcher.h:15-39); these ride along as
+    # higher-precision measurements for the geometry stages when the matcher
+    # provides them (see KNOWN_ISSUES.md).
+    keypoints1_f: np.ndarray | None = None
+    keypoints2_f: np.ndarray | None = None
 
     @property
     def num_matches(self) -> int:
         return int(self.keypoints1.shape[0])
+
+    @property
+    def kp1_f(self) -> np.ndarray:
+        if self.keypoints1_f is None:
+            return self.keypoints1.astype(np.float32)
+        return self.keypoints1_f
+
+    @property
+    def kp2_f(self) -> np.ndarray:
+        if self.keypoints2_f is None:
+            return self.keypoints2.astype(np.float32)
+        return self.keypoints2_f
 
     # Reference helpers GetMapPoint1/2 (FeatureMatcher.h:23-29): resolve a
     # match's pixel to the frame's associated map point (exact-pixel lookup,

@@ -34,7 +34,7 @@ def _match_jit(f1: orb.Features, f2: orb.Features, ratio):
     idx2, ok = hamming.knn2_ratio_match(d, ratio)
     xy1 = f1.xy.astype(jnp.int32)  # truncation, featurematcher.cpp:33-38
     xy2 = f2.xy[idx2].astype(jnp.int32)
-    return xy1, xy2, ok & f1.valid
+    return xy1, xy2, f1.xy, f2.xy[idx2], ok & f1.valid
 
 
 @jax.jit
@@ -52,8 +52,12 @@ class OrbFeatureMatcher(FeatureMatcher):
         max_features: int = 500,
         fast_threshold: float = 20.0,
         cache_size: int = 512,
+        subpixel: bool = True,
     ):
+        """`subpixel=True` carries quadratic-refined float coordinates as
+        measurements alongside the integer contract (KNOWN_ISSUES.md)."""
         self.threshold = float(threshold)
+        self.subpixel = bool(subpixel)
         self.max_features = int(max_features)
         self.fast_threshold = float(fast_threshold)
         self.cache_size = int(cache_size)
@@ -92,13 +96,15 @@ class OrbFeatureMatcher(FeatureMatcher):
     def match_frames(self, frame1, frame2) -> MatchFramesResult:
         f1 = self.features_for(frame1)
         f2 = self.features_for(frame2)
-        xy1, xy2, ok = _match_jit(f1, f2, self.threshold)
+        xy1, xy2, xy1f, xy2f, ok = _match_jit(f1, f2, self.threshold)
         ok_np = np.asarray(ok)
         return MatchFramesResult(
             frame1=frame1,
             frame2=frame2,
             keypoints1=np.asarray(xy1)[ok_np],
             keypoints2=np.asarray(xy2)[ok_np],
+            keypoints1_f=np.asarray(xy1f)[ok_np] if self.subpixel else None,
+            keypoints2_f=np.asarray(xy2f)[ok_np] if self.subpixel else None,
         )
 
     def match_against_many(self, frame, others):
@@ -107,8 +113,9 @@ class OrbFeatureMatcher(FeatureMatcher):
         f1 = self.features_for(frame)
         feats = [self.features_for(o) for o in others]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
-        xy1, xy2, ok = _match_many_jit(f1, stacked, self.threshold)
+        xy1, xy2, xy1f, xy2f, ok = _match_many_jit(f1, stacked, self.threshold)
         xy1, xy2, ok = np.asarray(xy1), np.asarray(xy2), np.asarray(ok)
+        xy1f, xy2f = np.asarray(xy1f), np.asarray(xy2f)
         results = []
         for i, o in enumerate(others):
             m = ok[i]
@@ -118,6 +125,8 @@ class OrbFeatureMatcher(FeatureMatcher):
                     frame2=o,
                     keypoints1=xy1[i][m],
                     keypoints2=xy2[i][m],
+                    keypoints1_f=xy1f[i][m] if self.subpixel else None,
+                    keypoints2_f=xy2f[i][m] if self.subpixel else None,
                 )
             )
         return results

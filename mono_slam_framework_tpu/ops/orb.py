@@ -124,7 +124,7 @@ def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     if use_fused:
         from mono_slam_framework_tpu.ops import pallas_detect
 
-        score, m10, m01, blur = pallas_detect.detect_stage(
+        score, m10, m01, blur, harris = pallas_detect.detect_stage(
             img_l, fast_threshold, BORDER
         )
     else:
@@ -148,6 +148,29 @@ def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     xs = flat_idx - ys * w
     valid = jnp.isfinite(vals)
 
+    # subpixel peak refinement on the raw Harris surface (quadratic fit per
+    # axis, offset clamped to +-0.5). The MatchFrames interface still carries
+    # integers; the float coordinates ride along as measurements for the
+    # geometry stages (see QUIRKS.md / KNOWN_ISSUES.md round-2 plan).
+    hf = harris.reshape(-1)
+
+    def at(dy, dx):
+        yy2 = jnp.clip(ys + dy, 0, h - 1)
+        xx2 = jnp.clip(xs + dx, 0, w - 1)
+        return hf[yy2 * w + xx2]
+
+    c0 = at(0, 0)
+
+    def offset(m, p):
+        denom = m - 2.0 * c0 + p
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        return jnp.clip(0.5 * (m - p) / denom, -0.5, 0.5)
+
+    dx_off = offset(at(0, -1), at(0, 1))
+    dy_off = offset(at(-1, 0), at(1, 0))
+    xs_f = xs.astype(jnp.float32) + dx_off
+    ys_f = ys.astype(jnp.float32) + dy_off
+
     # orientation via the moment maps (2 gathers per keypoint)
     flat = ys * w + xs
     ang = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
@@ -169,7 +192,7 @@ def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     packed = jnp.sum(
         bits.reshape(k_l, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
     )
-    return xs, ys, ang, packed, vals, valid
+    return xs, ys, xs_f, ys_f, ang, packed, vals, valid
 
 
 def extract(
@@ -197,12 +220,10 @@ def extract(
             img_l = img
         else:
             img_l = filters.resize_bilinear(img, dims[l])
-        xs, ys, ang, desc, vals, valid = _extract_level(
+        xs, ys, xs_f, ys_f, ang, desc, vals, valid = _extract_level(
             img_l, budgets[l], fast_threshold, use_fused
         )
-        xy0 = (
-            jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
-        )
+        xy0 = jnp.stack([xs_f, ys_f], -1) * scale
         all_xy.append(xy0)
         all_ang.append(ang)
         all_desc.append(desc)

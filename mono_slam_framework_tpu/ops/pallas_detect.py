@@ -76,8 +76,9 @@ def _sep_filter(img, weights, radius):
 
 
 def _maps_body(img, threshold, y0, border, full_h):
-    """All four maps for a work window `img` whose first row is global row
-    y0 (traced scalar). Returns (score, m10, m01, blur)."""
+    """All maps for a work window `img` whose first row is global row
+    y0 (traced scalar). Returns (score, m10, m01, blur, harris) — the raw
+    Harris surface is exported for subpixel peak interpolation."""
     h, w = img.shape
 
     # ---- FAST-9 segment test ----
@@ -150,21 +151,32 @@ def _maps_body(img, threshold, y0, border, full_h):
 
     # ---- 7x7 Gaussian blur ----
     blur = _sep_filter(img, list(_gauss7()), 3)
-    return score, m10, m01, blur
+    return score, m10, m01, blur, harris
 
 
-def _full_kernel(threshold, border, img_ref, score_ref, m10_ref, m01_ref, blur_ref):
-    score, m10, m01, blur = _maps_body(
+def _full_kernel(
+    threshold, border, img_ref, score_ref, m10_ref, m01_ref, blur_ref, harris_ref
+):
+    score, m10, m01, blur, harris = _maps_body(
         img_ref[:], threshold, 0, border, img_ref.shape[0]
     )
     score_ref[:] = score
     m10_ref[:] = m10
     m01_ref[:] = m01
     blur_ref[:] = blur
+    harris_ref[:] = harris
 
 
 def _banded_kernel(
-    threshold, border, real_h, img_ref, score_ref, m10_ref, m01_ref, blur_ref
+    threshold,
+    border,
+    real_h,
+    img_ref,
+    score_ref,
+    m10_ref,
+    m01_ref,
+    blur_ref,
+    harris_ref,
 ):
     # The input is pre-padded with HALO rows top and bottom, so every band's
     # work window starts at i*BLOCK in padded coords and the output band sits
@@ -176,18 +188,21 @@ def _banded_kernel(
     window = img_ref[pl.ds(start_padded, work), :]
     y0_global = start_padded - HALO  # unpadded row of window row 0
     # border mask uses the REAL image height so pad rows are never corners
-    score, m10, m01, blur = _maps_body(window, threshold, y0_global, border, real_h)
+    score, m10, m01, blur, harris = _maps_body(
+        window, threshold, y0_global, border, real_h
+    )
     score_ref[:] = score[HALO : HALO + BLOCK, :]
     m10_ref[:] = m10[HALO : HALO + BLOCK, :]
     m01_ref[:] = m01[HALO : HALO + BLOCK, :]
     blur_ref[:] = blur[HALO : HALO + BLOCK, :]
+    harris_ref[:] = harris[HALO : HALO + BLOCK, :]
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "border", "interpret"))
 def detect_stage(img, threshold: float = 20.0, border: int = 31, interpret: bool = False):
     """Run the fused detection stage. img [H,W] f32.
 
-    Returns (score, m10, m01, blur), all [H,W] f32.
+    Returns (score, m10, m01, blur, harris), all [H,W] f32.
     """
     img = img.astype(jnp.float32)
     h, w = img.shape
@@ -196,9 +211,9 @@ def detect_stage(img, threshold: float = 20.0, border: int = 31, interpret: bool
         kernel = functools.partial(_full_kernel, float(threshold), border)
         return pl.pallas_call(
             kernel,
-            out_shape=(shape,) * 4,
+            out_shape=(shape,) * 5,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)),
             interpret=interpret,
         )(img)
 
@@ -211,11 +226,11 @@ def detect_stage(img, threshold: float = 20.0, border: int = 31, interpret: bool
     outs = pl.pallas_call(
         kernel,
         grid=(n_bands,),
-        out_shape=(shape,) * 4,
+        out_shape=(shape,) * 5,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # full image each step
         out_specs=tuple(
             pl.BlockSpec((BLOCK, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(5)
         ),
         interpret=interpret,
     )(img_in)

@@ -51,7 +51,7 @@ def optimize_frame_pose(frame) -> int:
     valid = np.zeros(cap, bool)
     for i, (idx, item) in enumerate(entries):
         Xw[i] = item.map_point.world_pos
-        uv[i] = frame.keypoint_map.keypoint_from_index(idx)
+        uv[i] = frame.keypoint_map.measurement_at(idx)
         valid[i] = True
     T_opt, inlier, n_good = pose_optimize(
         jnp.asarray(frame.Tcw),
@@ -124,7 +124,7 @@ def run_local_ba(current_kf, map_) -> None:
                 continue
             e_cam.append(cam_index[kf])
             e_pt.append(mp_index[mp])
-            e_uv.append(kp)
+            e_uv.append(mp.measurement_in_keyframe(kf))
             e_ref.append((kf, mp))
     if not e_cam:
         return
@@ -192,7 +192,7 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
         for kf, kp in edges:
             e_cam.append(cam_index[kf])
             e_pt.append(mp_index[mp])
-            e_uv.append(kp)
+            e_uv.append(mp.measurement_in_keyframe(kf))
     if not e_cam:
         return
 

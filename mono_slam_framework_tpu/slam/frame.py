@@ -28,6 +28,9 @@ import numpy as np
 class MapPointItem:
     map_point: object  # MapPoint
     outlier: bool = False
+    # Subpixel measurement for the geometry stages; defaults to the integer
+    # pixel key (the public association contract stays exact-integer, B1).
+    measurement: tuple | None = None
 
 
 class KeyPointMap:
@@ -41,7 +44,8 @@ class KeyPointMap:
     def clone(self) -> "KeyPointMap":
         m = KeyPointMap(self.cols, self.rows)
         m._items = {
-            k: MapPointItem(v.map_point, v.outlier) for k, v in self._items.items()
+            k: MapPointItem(v.map_point, v.outlier, v.measurement)
+            for k, v in self._items.items()
         }
         return m
 
@@ -60,17 +64,24 @@ class KeyPointMap:
         x, y = int(keypoint[0]), int(keypoint[1])
         return 0 <= x < self.cols and 0 <= y < self.rows
 
-    def set_map_point(self, keypoint, map_point) -> None:
+    def set_map_point(self, keypoint, map_point, measurement=None) -> None:
         if not self._in_bounds(keypoint):
             return
         idx = self.index_of(keypoint)
         if map_point is None:
             self._items.pop(idx, None)
         else:
-            self._items[idx] = MapPointItem(map_point)
+            self._items[idx] = MapPointItem(map_point, measurement=measurement)
 
     def set_map_point_by_index(self, index: int, map_point) -> None:
         self.set_map_point(self.keypoint_from_index(index), map_point)
+
+    def measurement_at(self, index: int):
+        """Float measurement for an association (defaults to the pixel key)."""
+        item = self._items.get(index)
+        if item is not None and item.measurement is not None:
+            return item.measurement
+        return self.keypoint_from_index(index)
 
     def get_map_point(self, keypoint):
         if not self._in_bounds(keypoint):

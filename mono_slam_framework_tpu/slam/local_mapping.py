@@ -77,7 +77,10 @@ class LocalMapping:
                 continue
             if not mp.is_in_keyframe(self.current_kf):
                 kp = self.current_kf.keypoint_map.keypoint_from_index(idx)
-                mp.add_observation(self.current_kf, kp)
+                mp.add_observation(
+                    self.current_kf, kp,
+                    measurement=self.current_kf.keypoint_map.measurement_at(idx),
+                )
                 mp.update_normal_and_depth()
             else:
                 # only init-inserted points reach here (LocalMapping.cc:94-98)
@@ -135,8 +138,8 @@ class LocalMapping:
             tcw2 = kf2.get_translation()
             Tcw2 = np.hstack([Rcw2, tcw2[:, None]])
 
-            uv1 = res.keypoints1.astype(np.float32)
-            uv2 = res.keypoints2.astype(np.float32)
+            uv1 = res.kp1_f
+            uv2 = res.kp2_f
             # parallax gate on backprojected rays (LocalMapping.cc:199-211)
             cosp = np.asarray(
                 triangulation.rays_cos_parallax(
@@ -191,10 +194,12 @@ class LocalMapping:
                 mp = MapPoint(X[k], kf1, self.map)
                 kp1 = tuple(res.keypoints1[k])
                 kp2 = tuple(res.keypoints2[k])
-                mp.add_observation(kf1, kp1)
-                mp.add_observation(kf2, kp2)
-                kf1.add_map_point(mp, kp1)
-                kf2.add_map_point(mp, kp2)
+                m1 = tuple(uv1[k])
+                m2 = tuple(uv2[k])
+                mp.add_observation(kf1, kp1, measurement=m1)
+                mp.add_observation(kf2, kp2, measurement=m2)
+                kf1.keypoint_map.set_map_point(kp1, mp, measurement=m1)
+                kf2.keypoint_map.set_map_point(kp2, mp, measurement=m2)
                 mp.update_normal_and_depth()
                 self.map.add_map_point(mp)
                 self.recent_map_points.append(mp)
@@ -239,17 +244,24 @@ class LocalMapping:
                             mp1.update_normal_and_depth()
                             mp2.update_normal_and_depth()
                     elif mp1 is None and mp2 is not None:
+                        m1 = tuple(res.kp1_f[i])
                         mp2.add_observation(
-                            self.current_kf, tuple(res.keypoints1[i])
+                            self.current_kf, tuple(res.keypoints1[i]),
+                            measurement=m1,
                         )
                         self.current_kf.keypoint_map.set_map_point(
-                            tuple(res.keypoints1[i]), mp2
+                            tuple(res.keypoints1[i]), mp2, measurement=m1
                         )
                         if not mp2.is_bad:
                             mp2.update_normal_and_depth()
                     elif mp1 is not None and mp2 is None:
-                        mp1.add_observation(kf, tuple(res.keypoints2[i]))
-                        kf.keypoint_map.set_map_point(tuple(res.keypoints2[i]), mp1)
+                        m2 = tuple(res.kp2_f[i])
+                        mp1.add_observation(
+                            kf, tuple(res.keypoints2[i]), measurement=m2
+                        )
+                        kf.keypoint_map.set_map_point(
+                            tuple(res.keypoints2[i]), mp1, measurement=m2
+                        )
                         if not mp1.is_bad:
                             mp1.update_normal_and_depth()
         self.current_kf.update_connections()

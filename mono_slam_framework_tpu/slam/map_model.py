@@ -100,7 +100,8 @@ class MapPoint:
         self.ref_kf = ref_kf
         self.map = map_
         self.first_kf_id = ref_kf.id if ref_kf is not None else -1
-        self.observations: dict = {}  # KeyFrame -> (x, y) pixel
+        self.observations: dict = {}  # KeyFrame -> (x, y) integer pixel
+        self.obs_measurements: dict = {}  # KeyFrame -> subpixel (x, y), optional
         self.n_obs = 0
         self.normal = np.zeros(3, np.float32)
         self.distance = 0.0
@@ -123,10 +124,12 @@ class MapPoint:
     def get_world_pos(self) -> np.ndarray:
         return self.world_pos.copy()
 
-    def add_observation(self, kf, keypoint) -> None:
+    def add_observation(self, kf, keypoint, measurement=None) -> None:
         if kf in self.observations:
             return
         self.observations[kf] = (int(keypoint[0]), int(keypoint[1]))
+        if measurement is not None:
+            self.obs_measurements[kf] = (float(measurement[0]), float(measurement[1]))
         self.n_obs += 1
         if self.map is not None and self.map.obs_graph is not None:
             self.map.obs_graph.add(self.id, kf.id)
@@ -135,6 +138,7 @@ class MapPoint:
         if kf not in self.observations:
             return
         del self.observations[kf]
+        self.obs_measurements.pop(kf, None)
         self.n_obs -= 1
         if self.map is not None and self.map.obs_graph is not None:
             self.map.obs_graph.erase(self.id, kf.id)
@@ -159,15 +163,17 @@ class MapPoint:
         if other.id == self.id:
             return
         obs = dict(self.observations)
+        meas = dict(self.obs_measurements)
         self.observations.clear()
+        self.obs_measurements.clear()
         self.is_bad = True
         self.replaced_by = other
         if self.map.obs_graph is not None:
             self.map.obs_graph.erase_map_point(self.id)
         for kf, kp in obs.items():
             if kf not in other.observations:
-                kf.keypoint_map.set_map_point(kp, other)
-                other.add_observation(kf, kp)
+                kf.keypoint_map.set_map_point(kp, other, measurement=meas.get(kf))
+                other.add_observation(kf, kp, measurement=meas.get(kf))
             else:
                 kf.erase_map_point_match_at(kp)
         other.n_found += self.n_found
@@ -188,6 +194,12 @@ class MapPoint:
 
     def keypoint_in_keyframe(self, kf):
         return self.observations.get(kf)
+
+    def measurement_in_keyframe(self, kf):
+        """Subpixel measurement for this observation (falls back to the
+        integer pixel)."""
+        m = self.obs_measurements.get(kf)
+        return m if m is not None else self.observations.get(kf)
 
     def update_normal_and_depth(self) -> None:
         if self.is_bad or not self.observations:

@@ -270,8 +270,8 @@ class Tracking:
             return
 
         res = self.initializer.initialize(
-            self.ini_match_result.keypoints1.astype(np.float32),
-            self.ini_match_result.keypoints2.astype(np.float32),
+            self.ini_match_result.kp1_f,
+            self.ini_match_result.kp2_f,
             self._next_key(),
             min_triangulated=self.min_ini_match_count,
             min_parallax=self.min_parallax,
@@ -296,18 +296,22 @@ class Tracking:
         self.map.add_keyframe(kf_ini)
         self.map.add_keyframe(kf_cur)
 
+        kp1f = self.ini_match_result.kp1_f
+        kp2f = self.ini_match_result.kp2_f
         for i in range(self.ini_match_result.num_matches):
             if not self.ini_triangulated[i]:
                 continue
             mp = MapPoint(self.ini_p3d[i], kf_cur, self.map)
             kp1 = tuple(self.ini_match_result.keypoints1[i])
             kp2 = tuple(self.ini_match_result.keypoints2[i])
-            kf_ini.add_map_point(mp, kp1)
-            kf_cur.add_map_point(mp, kp2)
-            mp.add_observation(kf_ini, kp1)
-            mp.add_observation(kf_cur, kp2)
+            m1 = tuple(kp1f[i])
+            m2 = tuple(kp2f[i])
+            kf_ini.keypoint_map.set_map_point(kp1, mp, measurement=m1)
+            kf_cur.keypoint_map.set_map_point(kp2, mp, measurement=m2)
+            mp.add_observation(kf_ini, kp1, measurement=m1)
+            mp.add_observation(kf_cur, kp2, measurement=m2)
             mp.update_normal_and_depth()
-            self.current_frame.keypoint_map.set_map_point(kp2, mp)
+            self.current_frame.keypoint_map.set_map_point(kp2, mp, measurement=m2)
             self.map.add_map_point(mp)
 
         kf_ini.update_connections()
@@ -365,11 +369,13 @@ class Tracking:
         enough raw matches (Tracking.cc:389-424, 448-484)."""
         if match_result.num_matches < self.min_local_match_count:
             return None
+        kp1f = match_result.kp1_f
         for i in range(match_result.num_matches):
             mp = match_result.get_map_point2(i)
             if mp is not None:
                 self.current_frame.keypoint_map.set_map_point(
-                    tuple(match_result.keypoints1[i]), mp
+                    tuple(match_result.keypoints1[i]), mp,
+                    measurement=tuple(kp1f[i]),
                 )
         optimize_frame_pose(self.current_frame)
 
@@ -543,12 +549,14 @@ class Tracking:
             return
         results = self.matcher.match_against_many(self.current_frame, targets)
         for res in results:
+            kp1f = res.kp1_f
             for i in range(res.num_matches):
                 mp1 = res.get_map_point1(i)
                 mp2 = res.get_map_point2(i)
                 if mp1 is None and mp2 is not None:
                     self.current_frame.keypoint_map.set_map_point(
-                        tuple(res.keypoints1[i]), mp2
+                        tuple(res.keypoints1[i]), mp2,
+                        measurement=tuple(kp1f[i]),
                     )
 
     # ------------------------------------------------------------------
@@ -609,12 +617,13 @@ class Tracking:
             self.create_current_match_image(res)
             # gather 3D-2D correspondences through kf's keypoint map
             pts3d, pts2d, mps = [], [], []
+            kp1f = res.kp1_f
             for i in range(res.num_matches):
                 mp = res.get_map_point2(i)
                 if mp is not None and not mp.is_bad:
                     pts3d.append(mp.world_pos)
-                    pts2d.append(res.keypoints1[i])
-                    mps.append((tuple(res.keypoints1[i]), mp))
+                    pts2d.append(kp1f[i])
+                    mps.append((tuple(res.keypoints1[i]), mp, tuple(kp1f[i])))
             if len(pts3d) < 4:
                 continue
             ok, Tcw, inliers = solve_pnp_ransac(
@@ -631,9 +640,11 @@ class Tracking:
                 continue
             self.current_frame.set_pose(Tcw)
             self.current_frame.keypoint_map.clear()
-            for j, (kp, mp) in enumerate(mps):
+            for j, (kp, mp, mf) in enumerate(mps):
                 if inliers[j]:
-                    self.current_frame.keypoint_map.set_map_point(kp, mp)
+                    self.current_frame.keypoint_map.set_map_point(
+                        kp, mp, measurement=mf
+                    )
             n_good = optimize_frame_pose(self.current_frame)
             if n_good < 10:
                 continue
