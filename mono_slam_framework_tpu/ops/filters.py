@@ -81,15 +81,6 @@ def box_blur(img, size):
     return sep_conv2d(img, k, k)
 
 
-def sobel(img):
-    """Sobel derivatives (Ix, Iy)."""
-    d = jnp.asarray([-1.0, 0.0, 1.0], img.dtype)
-    s = jnp.asarray([1.0, 2.0, 1.0], img.dtype)
-    ix = sep_conv2d(img, d, s)
-    iy = sep_conv2d(img, s, d)
-    return ix, iy
-
-
 def resize_bilinear(img, new_hw):
     return jax.image.resize(img, new_hw, method="bilinear")
 
