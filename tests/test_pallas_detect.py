@@ -34,7 +34,7 @@ def _interior(shape, border=31):
 
 class TestPallasDetect:
     def test_score_matches_xla_path(self, img, fused):
-        score, _, _, _ = fused
+        score, _, _, _, _ = fused
         is_c, _ = fast.fast_score_map(img, 20.0)
         harris = fast.harris_response(img)
         h, w = img.shape
@@ -53,7 +53,12 @@ class TestPallasDetect:
         )
 
     def test_moments_and_blur_match(self, img, fused):
-        _, m10, m01, blur = fused
+        _, m10, m01, blur, harris = fused
+        harris_ref = fast.harris_response(img)
+        m = _interior(img.shape)
+        np.testing.assert_allclose(
+            np.asarray(harris)[m], np.asarray(harris_ref)[m], rtol=5e-4, atol=1.0
+        )
         m10_ref, m01_ref = orb._moment_maps(img)
         blur_ref = filters.gaussian_blur(img)
         m = _interior(img.shape)
@@ -80,8 +85,10 @@ class TestPallasDetect:
         finally:
             pallas_detect.detect_stage = orig
         v = np.asarray(f_ref.valid) & np.asarray(f_fused.valid)
-        np.testing.assert_array_equal(
-            np.asarray(f_ref.xy)[v], np.asarray(f_fused.xy)[v]
+        # subpixel offsets derive from the Harris surface; the fused and XLA
+        # paths agree to f32 accumulation noise
+        np.testing.assert_allclose(
+            np.asarray(f_ref.xy)[v], np.asarray(f_fused.xy)[v], atol=1e-3
         )
         np.testing.assert_array_equal(
             np.asarray(f_ref.desc)[v], np.asarray(f_fused.desc)[v]
