@@ -21,7 +21,7 @@ import time
 
 
 def run_one(matcher_name: str, args) -> dict:
-    from mono_slam_framework_tpu.io.datasets import LOADERS, load_tum_groundtruth
+    from mono_slam_framework_tpu.io.datasets import GROUNDTRUTH_LOADERS, LOADERS
     from mono_slam_framework_tpu.params import SlamParameters
     from mono_slam_framework_tpu.run import build_matcher
     from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
@@ -65,7 +65,7 @@ def run_one(matcher_name: str, args) -> dict:
     if args.ate:
         from mono_slam_framework_tpu.io import trajectory
 
-        gt_t, gt_p, _ = load_tum_groundtruth(args.path)
+        gt_t, gt_p, _ = GROUNDTRUTH_LOADERS[args.dataset](args.path)
         t_est, p_est, _ = trajectory.read_tum(out_path)
         ate, n_assoc = trajectory.ate_rmse(t_est, p_est, gt_t, gt_p)
         result["ate_rmse"] = round(ate, 4)
@@ -78,10 +78,11 @@ def main(argv=None):
     p.add_argument("--dataset", choices=["tum", "kitti", "euroc"], required=True)
     p.add_argument("--path", required=True)
     p.add_argument("--matchers", default="orb,loftr")
-    p.add_argument("--fx", type=float, required=True)
-    p.add_argument("--fy", type=float, required=True)
-    p.add_argument("--cx", type=float, required=True)
-    p.add_argument("--cy", type=float, required=True)
+    # Intrinsics auto-fill from KITTI calib.txt / EuRoC sensor.yaml when omitted.
+    p.add_argument("--fx", type=float, default=None)
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--ratio", type=float, default=0.6)
     p.add_argument("--min-ini-matches", type=int, default=100)
@@ -92,6 +93,18 @@ def main(argv=None):
     p.add_argument("--out-prefix", default="ab_traj")
     p.add_argument("--ate", action="store_true")
     args = p.parse_args(argv)
+
+    if None in (args.fx, args.fy, args.cx, args.cy):
+        from mono_slam_framework_tpu.io.datasets import CALIB_LOADERS
+
+        calib = CALIB_LOADERS.get(args.dataset)
+        if calib is None:
+            raise SystemExit("--fx/--fy/--cx/--cy are required for this dataset")
+        fx, fy, cx, cy = calib(args.path)
+        args.fx = args.fx if args.fx is not None else fx
+        args.fy = args.fy if args.fy is not None else fy
+        args.cx = args.cx if args.cx is not None else cx
+        args.cy = args.cy if args.cy is not None else cy
 
     results = [run_one(m.strip(), args) for m in args.matchers.split(",") if m.strip()]
     print(json.dumps({"sweep": results}, indent=2))

@@ -21,12 +21,14 @@ def save_map(path: str, map_) -> None:
 
     obs = []  # (mp_row, kf_id, x, y)
     obs_meas = []  # (fx, fy) matching obs rows
+    obs_info = []  # InvSigma2 weight matching obs rows
     for i, mp in enumerate(mps):
         for kf, kp in mp.observations.items():
             if not kf.is_bad:
                 obs.append((i, kf.id, kp[0], kp[1]))
                 m = mp.measurement_in_keyframe(kf)
                 obs_meas.append((float(m[0]), float(m[1])))
+                obs_info.append(mp.info_in_keyframe(kf))
 
     outliers = []  # (kf_row, index) — per-KF outlier flags
     for r, kf in enumerate(kfs):
@@ -64,6 +66,9 @@ def save_map(path: str, map_) -> None:
         obs_measurements=np.array(obs_meas, np.float64)
         if obs_meas
         else np.zeros((0, 2), np.float64),
+        obs_infos=np.array(obs_info, np.float32)
+        if obs_info
+        else np.zeros((0,), np.float32),
         outliers=np.array(outliers, np.int64) if outliers else np.zeros((0, 2), np.int64),
     )
 
@@ -114,12 +119,14 @@ def load_map(path: str, map_, kf_db, params) -> None:
     obs_meas = data.get("obs_measurements") if hasattr(data, "get") else None
     if obs_meas is None and "obs_measurements" in getattr(data, "files", []):
         obs_meas = data["obs_measurements"]
+    obs_infos = data["obs_infos"] if "obs_infos" in getattr(data, "files", []) else None
     for r, (mp_row, kf_id, x, y) in enumerate(data["observations"]):
         mp = mps[mp_row]
         kf = kf_by_id[int(kf_id)]
         m = tuple(obs_meas[r]) if obs_meas is not None and len(obs_meas) else None
-        mp.add_observation(kf, (int(x), int(y)), measurement=m)
-        kf.keypoint_map.set_map_point((int(x), int(y)), mp, measurement=m)
+        w = float(obs_infos[r]) if obs_infos is not None and len(obs_infos) else 1.0
+        mp.add_observation(kf, (int(x), int(y)), measurement=m, info=w)
+        kf.keypoint_map.set_map_point((int(x), int(y)), mp, measurement=m, info=w)
 
     for kf in sorted(kf_by_id.values(), key=lambda k: k.id):
         kf.update_connections()

@@ -46,6 +46,80 @@ def load_tum_groundtruth(seq_dir: str):
     return trajectory.read_tum(os.path.join(seq_dir, "groundtruth.txt"))
 
 
+def load_kitti_groundtruth(seq_dir: str):
+    """KITTI odometry ground truth -> (times [N], pos [N,3], quat [N,4]).
+
+    poses.txt rows are 3x4 row-major camera-to-world matrices Twc for the
+    left gray camera; timestamps come from times.txt. Looks for poses.txt in
+    the sequence directory (where evaluation scripts conventionally drop it).
+    Quaternions use the TUM [qx qy qz qw] order.
+    """
+    poses = np.loadtxt(os.path.join(seq_dir, "poses.txt"), np.float64)
+    poses = poses.reshape(-1, 3, 4)
+    with open(os.path.join(seq_dir, "times.txt")) as f:
+        times = np.array([float(x) for x in f.read().split()], np.float64)
+    n = min(len(poses), len(times))
+    pos = poses[:n, :, 3]
+    quat = _rot_to_quat_np(poses[:n, :, :3])
+    return times[:n], pos, quat
+
+
+def load_euroc_groundtruth(seq_dir: str):
+    """EuRoC ground truth -> (times [N], pos [N,3], quat [N,4]).
+
+    mav0/state_groundtruth_estimate0/data.csv rows:
+    ts_ns, px, py, pz, qw, qx, qy, qz, ... — reordered to TUM [qx qy qz qw].
+    """
+    path = os.path.join(seq_dir, "mav0", "state_groundtruth_estimate0", "data.csv")
+    times, pos, quat = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(v) for v in line.split(",")[:8]]
+            times.append(vals[0] * 1e-9)
+            pos.append(vals[1:4])
+            qw, qx, qy, qz = vals[4:8]
+            quat.append([qx, qy, qz, qw])
+    return (
+        np.asarray(times, np.float64),
+        np.asarray(pos, np.float64),
+        np.asarray(quat, np.float64),
+    )
+
+
+def _rot_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Batched rotation [N,3,3] -> quaternion [N,4] ([qx qy qz qw])."""
+    from mono_slam_framework_tpu.geometry import se3
+
+    return np.asarray(se3.rotation_to_quaternion(R.astype(np.float64)))
+
+
+def load_kitti_calib(seq_dir: str):
+    """(fx, fy, cx, cy) of the left gray camera from calib.txt's P0 row."""
+    with open(os.path.join(seq_dir, "calib.txt")) as f:
+        for line in f:
+            if line.startswith("P0:"):
+                v = [float(x) for x in line.split()[1:]]
+                return v[0], v[5], v[2], v[6]
+    raise ValueError(f"no P0 row in {seq_dir}/calib.txt")
+
+
+def load_euroc_calib(seq_dir: str, cam: str = "cam0"):
+    """(fx, fy, cx, cy) from mav0/cam0/sensor.yaml's `intrinsics:` line
+    (parsed textually — no YAML dependency)."""
+    path = os.path.join(seq_dir, "mav0", cam, "sensor.yaml")
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("intrinsics:"):
+                inner = line.split("[", 1)[1].rsplit("]", 1)[0]
+                v = [float(x) for x in inner.split(",")]
+                return v[0], v[1], v[2], v[3]
+    raise ValueError(f"no intrinsics line in {path}")
+
+
 def load_kitti(seq_dir: str, camera: str = "image_0") -> Iterator[FrameData]:
     """KITTI odometry grayscale: times.txt + image_0/######.png."""
     with open(os.path.join(seq_dir, "times.txt")) as f:
@@ -72,3 +146,9 @@ def load_euroc(seq_dir: str, cam: str = "cam0") -> Iterator[FrameData]:
 
 
 LOADERS = {"tum": load_tum, "kitti": load_kitti, "euroc": load_euroc}
+GROUNDTRUTH_LOADERS = {
+    "tum": load_tum_groundtruth,
+    "kitti": load_kitti_groundtruth,
+    "euroc": load_euroc_groundtruth,
+}
+CALIB_LOADERS = {"kitti": load_kitti_calib, "euroc": load_euroc_calib}

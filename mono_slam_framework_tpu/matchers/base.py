@@ -48,10 +48,31 @@ class MatchFramesResult:
     # provides them (see KNOWN_ISSUES.md).
     keypoints1_f: np.ndarray | None = None
     keypoints2_f: np.ndarray | None = None
+    # Optional pyramid octaves per match row. Upstream ORB-SLAM2 weights every
+    # optimization edge by InvSigma2 = 1/1.2^(2*octave) (the fork dropped this
+    # — identity information at Optimizer.cc:141,265); matchers that know the
+    # detection scale report it here so the rebuild can restore the weighting.
+    octaves1: np.ndarray | None = None
+    octaves2: np.ndarray | None = None
 
     @property
     def num_matches(self) -> int:
         return int(self.keypoints1.shape[0])
+
+    def _info(self, octaves) -> np.ndarray:
+        if octaves is None:
+            return np.ones(self.num_matches, np.float32)
+        return (1.2 ** (-2.0 * octaves.astype(np.float32))).astype(np.float32)
+
+    @property
+    def info1(self) -> np.ndarray:
+        """Per-row measurement information weight (InvSigma2) in frame1."""
+        return self._info(self.octaves1)
+
+    @property
+    def info2(self) -> np.ndarray:
+        """Per-row measurement information weight (InvSigma2) in frame2."""
+        return self._info(self.octaves2)
 
     @property
     def kp1_f(self) -> np.ndarray:

@@ -34,7 +34,7 @@ def _match_jit(f1: orb.Features, f2: orb.Features, ratio):
     idx2, ok = hamming.knn2_ratio_match(d, ratio)
     xy1 = f1.xy.astype(jnp.int32)  # truncation, featurematcher.cpp:33-38
     xy2 = f2.xy[idx2].astype(jnp.int32)
-    return xy1, xy2, f1.xy, f2.xy[idx2], ok & f1.valid
+    return xy1, xy2, f1.xy, f2.xy[idx2], f1.octave, f2.octave[idx2], ok & f1.valid
 
 
 @jax.jit
@@ -96,7 +96,7 @@ class OrbFeatureMatcher(FeatureMatcher):
     def match_frames(self, frame1, frame2) -> MatchFramesResult:
         f1 = self.features_for(frame1)
         f2 = self.features_for(frame2)
-        xy1, xy2, xy1f, xy2f, ok = _match_jit(f1, f2, self.threshold)
+        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = _match_jit(f1, f2, self.threshold)
         ok_np = np.asarray(ok)
         return MatchFramesResult(
             frame1=frame1,
@@ -105,6 +105,8 @@ class OrbFeatureMatcher(FeatureMatcher):
             keypoints2=np.asarray(xy2)[ok_np],
             keypoints1_f=np.asarray(xy1f)[ok_np] if self.subpixel else None,
             keypoints2_f=np.asarray(xy2f)[ok_np] if self.subpixel else None,
+            octaves1=np.asarray(oc1)[ok_np],
+            octaves2=np.asarray(oc2)[ok_np],
         )
 
     def match_against_many(self, frame, others):
@@ -113,9 +115,12 @@ class OrbFeatureMatcher(FeatureMatcher):
         f1 = self.features_for(frame)
         feats = [self.features_for(o) for o in others]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
-        xy1, xy2, xy1f, xy2f, ok = _match_many_jit(f1, stacked, self.threshold)
+        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = _match_many_jit(
+            f1, stacked, self.threshold
+        )
         xy1, xy2, ok = np.asarray(xy1), np.asarray(xy2), np.asarray(ok)
         xy1f, xy2f = np.asarray(xy1f), np.asarray(xy2f)
+        oc1, oc2 = np.asarray(oc1), np.asarray(oc2)
         results = []
         for i, o in enumerate(others):
             m = ok[i]
@@ -127,6 +132,8 @@ class OrbFeatureMatcher(FeatureMatcher):
                     keypoints2=xy2[i][m],
                     keypoints1_f=xy1f[i][m] if self.subpixel else None,
                     keypoints2_f=xy2f[i][m] if self.subpixel else None,
+                    octaves1=oc1[i][m],
+                    octaves2=oc2[i][m],
                 )
             )
         return results

@@ -46,6 +46,7 @@ class Features(NamedTuple):
     desc: jax.Array  # uint32 [K, 8] packed 256-bit rBRIEF
     score: jax.Array  # f32 [K] Harris response
     valid: jax.Array  # bool [K]
+    octave: jax.Array  # i32 [K] pyramid level (sigma2 = 1.2^(2*octave))
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,6 +215,7 @@ def extract(
     budgets = _per_level_budget(max_features)
 
     all_xy, all_ang, all_desc, all_score, all_valid = [], [], [], [], []
+    all_oct = []
     for l in range(N_LEVELS):
         scale = SCALE_FACTOR**l
         if l == 0:
@@ -229,6 +231,7 @@ def extract(
         all_desc.append(desc)
         all_score.append(jnp.where(valid, vals, -jnp.inf))
         all_valid.append(valid)
+        all_oct.append(jnp.full((budgets[l],), l, jnp.int32))
 
     return Features(
         xy=jnp.concatenate(all_xy),
@@ -236,4 +239,5 @@ def extract(
         desc=jnp.concatenate(all_desc),
         score=jnp.concatenate(all_score),
         valid=jnp.concatenate(all_valid),
+        octave=jnp.concatenate(all_oct),
     )

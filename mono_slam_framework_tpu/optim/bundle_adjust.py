@@ -43,6 +43,7 @@ class BAProblem(NamedTuple):
     e_pt: jax.Array  # i32 [E]
     e_uv: jax.Array  # f32 [E,2]
     e_valid: jax.Array  # bool [E]
+    e_info: jax.Array  # f32 [E] per-edge information (InvSigma2; 1 = identity)
     pair_i: jax.Array  # i32 [PAIRS] edge index
     pair_j: jax.Array  # i32 [PAIRS] edge index (same landmark as pair_i)
     pair_valid: jax.Array  # bool [PAIRS]
@@ -59,6 +60,7 @@ def build_problem(
     K: np.ndarray,
     pad_edges: int | None = None,
     pad_pairs: int | None = None,
+    e_info: np.ndarray | None = None,
 ) -> BAProblem:
     """Host-side problem assembly, including the edge-pair list.
 
@@ -70,6 +72,9 @@ def build_problem(
     e_pt = np.asarray(e_pt, np.int32)
     e_uv = np.asarray(e_uv, np.float32)
     E = e_cam.shape[0]
+    if e_info is None:
+        e_info = np.ones(E, np.float32)
+    e_info = np.asarray(e_info, np.float32)
 
     # ordered pairs of edges sharing a landmark (including self-pairs)
     by_pt: dict[int, list[int]] = {}
@@ -105,6 +110,7 @@ def build_problem(
         e_pt=jnp.asarray(padv(e_pt, Ecap)),
         e_uv=jnp.asarray(padv(e_uv, Ecap)),
         e_valid=jnp.asarray(padv(np.ones(E, bool), Ecap, False)),
+        e_info=jnp.asarray(padv(e_info, Ecap, 1.0)),
         pair_i=jnp.asarray(padv(np.asarray(pi, np.int32), Pcap)),
         pair_j=jnp.asarray(padv(np.asarray(pj, np.int32), Pcap)),
         pair_valid=jnp.asarray(padv(np.ones(n_pairs, bool), Pcap, False)),
@@ -134,7 +140,12 @@ def _inv3x3(M):
 
 
 def _edge_terms(cam_T, X, p: BAProblem, mask, use_huber):
-    """Per-edge residuals/weights/Jacobians. mask: f32 [E]."""
+    """Per-edge residuals/weights/Jacobians. mask: f32 [E].
+
+    e2 is the INFORMATION-WEIGHTED chi2 (g2o edge->chi2() with Omega =
+    e_info * I2); the IRLS weight folds e_info in so the normal equations
+    match g2o's per-octave information matrices.
+    """
     Te = cam_T[p.e_cam]  # [E,4,4]
     Xe = X[p.e_pt]  # [E,3]
     Xc = jnp.einsum("eij,ej->ei", Te[:, :3, :3], Xe) + Te[:, :3, 3]
@@ -144,8 +155,9 @@ def _edge_terms(cam_T, X, p: BAProblem, mask, use_huber):
     zs = jnp.where(z == 0, 1.0, z)
     pred = jnp.stack([fx * Xc[:, 0] / zs + cx, fy * Xc[:, 1] / zs + cy], axis=-1)
     r = pred - p.e_uv
-    e2 = jnp.sum(r * r, axis=-1)
-    w = lm.huber_weight(e2, use_huber) * mask
+    info = p.e_info.astype(r.dtype)
+    e2 = jnp.sum(r * r, axis=-1) * info
+    w = lm.huber_weight(e2, use_huber) * info * mask
     Jproj = lm.projection_jacobians(Xc, fx, fy)  # [E,2,3]
     Jc = jnp.einsum("eij,ejk->eik", Jproj, lm.se3_point_jacobian(Xc))  # [E,2,6]
     Jp = jnp.einsum("eij,ejk->eik", Jproj, Te[:, :3, :3])  # [E,2,3]

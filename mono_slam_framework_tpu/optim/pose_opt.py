@@ -28,8 +28,14 @@ N_ROUNDS = 4
 N_ITERS = 10
 
 
-def _edge_terms(T, Xw, uv, K, mask, use_huber):
-    """Residuals, IRLS weights, per-edge J [E,2,6]; masked edges zeroed."""
+def _edge_terms(T, Xw, uv, K, mask, info, use_huber):
+    """Residuals, IRLS weights, per-edge J [E,2,6]; masked edges zeroed.
+
+    `info` is the per-edge measurement information (InvSigma2 * I2, the
+    upstream per-octave weighting): the returned e2 is the INFORMATION-
+    WEIGHTED chi2 (g2o edge->chi2() = r^T Omega r) and the IRLS weight
+    already folds info in, so H = J^T w J matches g2o exactly.
+    """
     R = T[:3, :3]
     t = T[:3, 3]
     Xc = Xw @ R.T + t
@@ -38,29 +44,29 @@ def _edge_terms(T, Xw, uv, K, mask, use_huber):
     z = jnp.where(Xc[:, 2] == 0, 1.0, Xc[:, 2])
     pred = jnp.stack([fx * Xc[:, 0] / z + cx, fy * Xc[:, 1] / z + cy], axis=-1)
     r = pred - uv  # [E,2]
-    e2 = jnp.sum(r * r, axis=-1)
-    w = lm.huber_weight(e2, use_huber) * mask
+    e2 = jnp.sum(r * r, axis=-1) * info
+    w = lm.huber_weight(e2, use_huber) * info * mask
     Jp = lm.projection_jacobians(Xc, fx, fy)  # [E,2,3]
     Jx = lm.se3_point_jacobian(Xc)  # [E,3,6]
     J = jnp.einsum("eij,ejk->eik", Jp, Jx)  # [E,2,6]
     return r, e2, w, J
 
 
-def _round(T_init, Xw, uv, K, mask, use_huber, dtype):
+def _round(T_init, Xw, uv, K, mask, info, use_huber, dtype):
     """One reference 'round': 10 LM iterations from T_init with a fixed mask."""
 
     def chi2_of(T):
-        _, e2, _, _ = _edge_terms(T, Xw, uv, K, mask, use_huber)
+        _, e2, _, _ = _edge_terms(T, Xw, uv, K, mask, info, use_huber)
         return jnp.sum(lm.huber_rho(e2, use_huber) * mask)
 
-    r0, e20, w0, J0 = _edge_terms(T_init, Xw, uv, K, mask, use_huber)
+    r0, e20, w0, J0 = _edge_terms(T_init, Xw, uv, K, mask, info, use_huber)
     H0 = jnp.einsum("eik,e,eil->kl", J0, w0, J0)
     lam0 = lm.TAU * jnp.max(jnp.diag(H0))
     chi0 = chi2_of(T_init)
 
     def step(carry, _):
         T, lam, nu, chi = carry
-        r, e2, w, J = _edge_terms(T, Xw, uv, K, mask, use_huber)
+        r, e2, w, J = _edge_terms(T, Xw, uv, K, mask, info, use_huber)
         H = jnp.einsum("eik,e,eil->kl", J, w, J)
         b = jnp.einsum("eik,e,ei->k", J, w, r)
         A = H + lam * jnp.eye(6, dtype=dtype)
@@ -85,7 +91,7 @@ def _round(T_init, Xw, uv, K, mask, use_huber, dtype):
 
 
 @jax.jit
-def pose_optimize(T_init, Xw, uv, valid, K):
+def pose_optimize(T_init, Xw, uv, valid, K, info=None):
     """4x10 LM pose refinement with inter-round outlier reclassification.
 
     Args:
@@ -94,6 +100,9 @@ def pose_optimize(T_init, Xw, uv, valid, K):
       uv: [E,2] observed pixels.
       valid: bool [E] true for real edges.
       K: [3,3] intrinsics.
+      info: optional [E] per-edge information weights (InvSigma2; upstream
+        ORB-SLAM2's per-octave weighting). None = identity (fork behavior,
+        Optimizer.cc:141).
 
     Returns:
       (T_opt [4,4], inlier bool [E], n_good i32) — n_good mirrors the
@@ -102,15 +111,20 @@ def pose_optimize(T_init, Xw, uv, valid, K):
     dtype = T_init.dtype
     Xw = Xw.astype(dtype)
     uv = uv.astype(dtype)
+    if info is None:
+        info = jnp.ones(Xw.shape[0], dtype)
+    else:
+        info = info.astype(dtype)
 
     def round_body(carry, it):
         inlier, _ = carry
         mask = (valid & inlier).astype(dtype)
         use_huber = it < 3  # kernel removed at it==2 end (Optimizer.cc:320)
-        T_fin = _round(T_init, Xw, uv, K, mask, use_huber, dtype)
-        # reclassify ALL edges by raw chi2 at the new pose (Optimizer.cc:300-321)
+        T_fin = _round(T_init, Xw, uv, K, mask, info, use_huber, dtype)
+        # reclassify ALL edges by chi2 (r^T Omega r) at the new pose
+        # (Optimizer.cc:300-321)
         _, e2, _, _ = _edge_terms(
-            T_fin, Xw, uv, K, valid.astype(dtype), jnp.asarray(False)
+            T_fin, Xw, uv, K, valid.astype(dtype), info, jnp.asarray(False)
         )
         new_inlier = e2 <= lm.CHI2_MONO
         return (new_inlier, T_fin), None

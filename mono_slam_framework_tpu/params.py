@@ -56,6 +56,12 @@ class SlamParameters:
     initializerModelFallback: bool = False
     # Measurement sigma for initializer scoring (Initializer.cc:31).
     sigma: float = 1.0
+    # Weight optimization edges by the detection octave's InvSigma2
+    # (1/1.2^(2*octave)) — upstream ORB-SLAM2 behavior that the reference
+    # fork dropped (identity information at Optimizer.cc:141,265), a main
+    # contributor to monocular scale drift (KNOWN_ISSUES.md). False restores
+    # the fork's identity weighting.
+    octaveInformation: bool = True
 
     def intrinsics(self):
         return (self.fx, self.fy, self.cx, self.cy)

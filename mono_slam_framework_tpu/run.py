@@ -44,10 +44,12 @@ def main(argv=None):
     p.add_argument("--dataset", choices=["tum", "kitti", "euroc"], required=True)
     p.add_argument("--path", required=True, help="sequence directory")
     p.add_argument("--matcher", choices=["orb", "loftr"], default="orb")
-    p.add_argument("--fx", type=float, required=True)
-    p.add_argument("--fy", type=float, required=True)
-    p.add_argument("--cx", type=float, required=True)
-    p.add_argument("--cy", type=float, required=True)
+    # Intrinsics: required for TUM; KITTI/EuRoC auto-fill from the sequence's
+    # calib.txt / sensor.yaml when omitted.
+    p.add_argument("--fx", type=float, default=None)
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--ratio", type=float, default=0.6, help="Lowe ratio (main.cpp:66)")
     p.add_argument(
@@ -78,10 +80,29 @@ def main(argv=None):
     p.add_argument("--map-out", default="", help="save final map checkpoint (.npz)")
     args = p.parse_args(argv)
 
-    from mono_slam_framework_tpu.io.datasets import LOADERS, load_tum_groundtruth
+    from mono_slam_framework_tpu.io.datasets import (
+        CALIB_LOADERS,
+        GROUNDTRUTH_LOADERS,
+        LOADERS,
+    )
     from mono_slam_framework_tpu.matchers import OrbFeatureMatcher  # noqa
     from mono_slam_framework_tpu.params import SlamParameters
     from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
+
+    if None in (args.fx, args.fy, args.cx, args.cy):
+        calib = CALIB_LOADERS.get(args.dataset)
+        if calib is None:
+            raise SystemExit(
+                "--fx/--fy/--cx/--cy are required for this dataset "
+                "(no calibration file convention to read them from)"
+            )
+        fx, fy, cx, cy = calib(args.path)
+        args.fx = args.fx if args.fx is not None else fx
+        args.fy = args.fy if args.fy is not None else fy
+        args.cx = args.cx if args.cx is not None else cx
+        args.cy = args.cy if args.cy is not None else cy
+        if not args.quiet:
+            print(f"calibration: fx={args.fx} fy={args.fy} cx={args.cx} cy={args.cy}")
 
     matcher = build_matcher(args.matcher, args)
     params = SlamParameters(
@@ -128,11 +149,9 @@ def main(argv=None):
         "final_state": system.last_metrics.get("state"),
     }
     if args.ate:
-        import numpy as np
-
         from mono_slam_framework_tpu.io import trajectory
 
-        gt_t, gt_p, _ = load_tum_groundtruth(args.path)
+        gt_t, gt_p, _ = GROUNDTRUTH_LOADERS[args.dataset](args.path)
         t_est, p_est, _ = trajectory.read_tum(args.out)
         ate, n_assoc = trajectory.ate_rmse(t_est, p_est, gt_t, gt_p)
         summary["ate_rmse"] = round(ate, 4)

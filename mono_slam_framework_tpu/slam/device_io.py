@@ -49,9 +49,11 @@ def optimize_frame_pose(frame) -> int:
     Xw = np.zeros((cap, 3), np.float32)
     uv = np.zeros((cap, 2), np.float32)
     valid = np.zeros(cap, bool)
+    info = np.ones(cap, np.float32)
     for i, (idx, item) in enumerate(entries):
         Xw[i] = item.map_point.world_pos
         uv[i] = frame.keypoint_map.measurement_at(idx)
+        info[i] = item.info
         valid[i] = True
     T_opt, inlier, n_good = pose_optimize(
         jnp.asarray(frame.Tcw),
@@ -59,6 +61,7 @@ def optimize_frame_pose(frame) -> int:
         jnp.asarray(uv),
         jnp.asarray(valid),
         jnp.asarray(frame.K),
+        jnp.asarray(info),
     )
     frame.set_pose(np.asarray(T_opt))
     inlier = np.asarray(inlier)
@@ -117,7 +120,7 @@ def run_local_ba(current_kf, map_) -> None:
         cam_fixed[oldest] = True
     mp_index = {mp: i for i, mp in enumerate(local_mps)}
 
-    e_cam, e_pt, e_uv, e_ref = [], [], [], []
+    e_cam, e_pt, e_uv, e_ref, e_info = [], [], [], [], []
     for mp in local_mps:
         for kf, kp in mp.observations.items():
             if kf.is_bad or kf not in cam_index:
@@ -125,6 +128,7 @@ def run_local_ba(current_kf, map_) -> None:
             e_cam.append(cam_index[kf])
             e_pt.append(mp_index[mp])
             e_uv.append(mp.measurement_in_keyframe(kf))
+            e_info.append(mp.info_in_keyframe(kf))
             e_ref.append((kf, mp))
     if not e_cam:
         return
@@ -139,6 +143,7 @@ def run_local_ba(current_kf, map_) -> None:
         cams[0].K,
         pad_edges=_pow2(len(e_cam)),
         pad_pairs=None,
+        e_info=np.asarray(e_info, np.float32),
     )
     T_out, X_out, bad, _ = local_bundle_adjust(p)
     T_out = np.asarray(T_out)
@@ -177,7 +182,7 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
     cam_index = {kf: i for i, kf in enumerate(kfs)}
     cam_fixed = np.array([kf.id == 0 for kf in kfs], bool)
     mp_index = {}
-    e_cam, e_pt, e_uv = [], [], []
+    e_cam, e_pt, e_uv, e_info = [], [], [], []
     used_mps = []
     for mp in mps:
         edges = [
@@ -193,6 +198,7 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
             e_cam.append(cam_index[kf])
             e_pt.append(mp_index[mp])
             e_uv.append(mp.measurement_in_keyframe(kf))
+            e_info.append(mp.info_in_keyframe(kf))
     if not e_cam:
         return
 
@@ -205,6 +211,7 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
         np.asarray(e_uv, np.float32),
         kfs[0].K,
         pad_edges=_pow2(len(e_cam)),
+        e_info=np.asarray(e_info, np.float32),
     )
     T_out, X_out, _ = bundle_adjust(p, n_iters=n_iters, robust=robust)
     T_out = np.asarray(T_out)

@@ -31,6 +31,10 @@ class MapPointItem:
     # Subpixel measurement for the geometry stages; defaults to the integer
     # pixel key (the public association contract stays exact-integer, B1).
     measurement: tuple | None = None
+    # Measurement information weight (InvSigma2 of the detection octave);
+    # consumed by the optimizers (upstream ORB-SLAM2 weighting the fork
+    # dropped at Optimizer.cc:141,265).
+    info: float = 1.0
 
 
 class KeyPointMap:
@@ -44,7 +48,7 @@ class KeyPointMap:
     def clone(self) -> "KeyPointMap":
         m = KeyPointMap(self.cols, self.rows)
         m._items = {
-            k: MapPointItem(v.map_point, v.outlier, v.measurement)
+            k: MapPointItem(v.map_point, v.outlier, v.measurement, v.info)
             for k, v in self._items.items()
         }
         return m
@@ -64,14 +68,16 @@ class KeyPointMap:
         x, y = int(keypoint[0]), int(keypoint[1])
         return 0 <= x < self.cols and 0 <= y < self.rows
 
-    def set_map_point(self, keypoint, map_point, measurement=None) -> None:
+    def set_map_point(self, keypoint, map_point, measurement=None, info=1.0) -> None:
         if not self._in_bounds(keypoint):
             return
         idx = self.index_of(keypoint)
         if map_point is None:
             self._items.pop(idx, None)
         else:
-            self._items[idx] = MapPointItem(map_point, measurement=measurement)
+            self._items[idx] = MapPointItem(
+                map_point, measurement=measurement, info=float(info)
+            )
 
     def set_map_point_by_index(self, index: int, map_point) -> None:
         self.set_map_point(self.keypoint_from_index(index), map_point)
@@ -82,6 +88,11 @@ class KeyPointMap:
         if item is not None and item.measurement is not None:
             return item.measurement
         return self.keypoint_from_index(index)
+
+    def info_at(self, index: int) -> float:
+        """Measurement information weight for an association (default 1.0)."""
+        item = self._items.get(index)
+        return item.info if item is not None else 1.0
 
     def get_map_point(self, keypoint):
         if not self._in_bounds(keypoint):

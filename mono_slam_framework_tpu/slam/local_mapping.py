@@ -25,6 +25,7 @@ class LocalMapping:
         self.map = map_
         self.matcher = feature_matcher
         self.min_parallax = float(params.minimumParallax)
+        self.octave_information = getattr(params, "octaveInformation", True)
         self.new_keyframes: list = []
         self.recent_map_points: list = []
         self.current_kf = None
@@ -80,6 +81,7 @@ class LocalMapping:
                 mp.add_observation(
                     self.current_kf, kp,
                     measurement=self.current_kf.keypoint_map.measurement_at(idx),
+                    info=self.current_kf.keypoint_map.info_at(idx),
                 )
                 mp.update_normal_and_depth()
             else:
@@ -190,16 +192,20 @@ class LocalMapping:
                 & np.isfinite(X).all(axis=1)
             )
 
+            if self.octave_information:
+                inf1, inf2 = res.info1, res.info2
+            else:
+                inf1 = inf2 = np.ones(res.num_matches, np.float32)
             for k in np.nonzero(ok)[0]:
                 mp = MapPoint(X[k], kf1, self.map)
                 kp1 = tuple(res.keypoints1[k])
                 kp2 = tuple(res.keypoints2[k])
                 m1 = tuple(uv1[k])
                 m2 = tuple(uv2[k])
-                mp.add_observation(kf1, kp1, measurement=m1)
-                mp.add_observation(kf2, kp2, measurement=m2)
-                kf1.keypoint_map.set_map_point(kp1, mp, measurement=m1)
-                kf2.keypoint_map.set_map_point(kp2, mp, measurement=m2)
+                mp.add_observation(kf1, kp1, measurement=m1, info=inf1[k])
+                mp.add_observation(kf2, kp2, measurement=m2, info=inf2[k])
+                kf1.keypoint_map.set_map_point(kp1, mp, measurement=m1, info=inf1[k])
+                kf2.keypoint_map.set_map_point(kp2, mp, measurement=m2, info=inf2[k])
                 mp.update_normal_and_depth()
                 self.map.add_map_point(mp)
                 self.recent_map_points.append(mp)
@@ -232,6 +238,10 @@ class LocalMapping:
         if targets:
             results = self.matcher.match_against_many(self.current_kf, targets)
             for kf, res in zip(targets, results):
+                if self.octave_information:
+                    inf1, inf2 = res.info1, res.info2
+                else:
+                    inf1 = inf2 = np.ones(res.num_matches, np.float32)
                 for i in range(res.num_matches):
                     mp1 = res.get_map_point1(i)
                     mp2 = res.get_map_point2(i)
@@ -247,20 +257,23 @@ class LocalMapping:
                         m1 = tuple(res.kp1_f[i])
                         mp2.add_observation(
                             self.current_kf, tuple(res.keypoints1[i]),
-                            measurement=m1,
+                            measurement=m1, info=inf1[i],
                         )
                         self.current_kf.keypoint_map.set_map_point(
-                            tuple(res.keypoints1[i]), mp2, measurement=m1
+                            tuple(res.keypoints1[i]), mp2,
+                            measurement=m1, info=inf1[i],
                         )
                         if not mp2.is_bad:
                             mp2.update_normal_and_depth()
                     elif mp1 is not None and mp2 is None:
                         m2 = tuple(res.kp2_f[i])
                         mp1.add_observation(
-                            kf, tuple(res.keypoints2[i]), measurement=m2
+                            kf, tuple(res.keypoints2[i]),
+                            measurement=m2, info=inf2[i],
                         )
                         kf.keypoint_map.set_map_point(
-                            tuple(res.keypoints2[i]), mp1, measurement=m2
+                            tuple(res.keypoints2[i]), mp1,
+                            measurement=m2, info=inf2[i],
                         )
                         if not mp1.is_bad:
                             mp1.update_normal_and_depth()

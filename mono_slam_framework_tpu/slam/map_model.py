@@ -102,6 +102,7 @@ class MapPoint:
         self.first_kf_id = ref_kf.id if ref_kf is not None else -1
         self.observations: dict = {}  # KeyFrame -> (x, y) integer pixel
         self.obs_measurements: dict = {}  # KeyFrame -> subpixel (x, y), optional
+        self.obs_info: dict = {}  # KeyFrame -> InvSigma2 weight, optional
         self.n_obs = 0
         self.normal = np.zeros(3, np.float32)
         self.distance = 0.0
@@ -124,12 +125,14 @@ class MapPoint:
     def get_world_pos(self) -> np.ndarray:
         return self.world_pos.copy()
 
-    def add_observation(self, kf, keypoint, measurement=None) -> None:
+    def add_observation(self, kf, keypoint, measurement=None, info=1.0) -> None:
         if kf in self.observations:
             return
         self.observations[kf] = (int(keypoint[0]), int(keypoint[1]))
         if measurement is not None:
             self.obs_measurements[kf] = (float(measurement[0]), float(measurement[1]))
+        if info != 1.0:
+            self.obs_info[kf] = float(info)
         self.n_obs += 1
         if self.map is not None and self.map.obs_graph is not None:
             self.map.obs_graph.add(self.id, kf.id)
@@ -139,6 +142,7 @@ class MapPoint:
             return
         del self.observations[kf]
         self.obs_measurements.pop(kf, None)
+        self.obs_info.pop(kf, None)
         self.n_obs -= 1
         if self.map is not None and self.map.obs_graph is not None:
             self.map.obs_graph.erase(self.id, kf.id)
@@ -164,16 +168,22 @@ class MapPoint:
             return
         obs = dict(self.observations)
         meas = dict(self.obs_measurements)
+        infos = dict(self.obs_info)
         self.observations.clear()
         self.obs_measurements.clear()
+        self.obs_info.clear()
         self.is_bad = True
         self.replaced_by = other
         if self.map.obs_graph is not None:
             self.map.obs_graph.erase_map_point(self.id)
         for kf, kp in obs.items():
             if kf not in other.observations:
-                kf.keypoint_map.set_map_point(kp, other, measurement=meas.get(kf))
-                other.add_observation(kf, kp, measurement=meas.get(kf))
+                kf.keypoint_map.set_map_point(
+                    kp, other, measurement=meas.get(kf), info=infos.get(kf, 1.0)
+                )
+                other.add_observation(
+                    kf, kp, measurement=meas.get(kf), info=infos.get(kf, 1.0)
+                )
             else:
                 kf.erase_map_point_match_at(kp)
         other.n_found += self.n_found
@@ -200,6 +210,10 @@ class MapPoint:
         integer pixel)."""
         m = self.obs_measurements.get(kf)
         return m if m is not None else self.observations.get(kf)
+
+    def info_in_keyframe(self, kf) -> float:
+        """Information weight (InvSigma2) for this observation (default 1)."""
+        return self.obs_info.get(kf, 1.0)
 
     def update_normal_and_depth(self) -> None:
         if self.is_bad or not self.observations:

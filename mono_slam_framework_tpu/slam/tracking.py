@@ -80,6 +80,7 @@ class Tracking:
         self.min_ini_match_count = params.minIniMatchCount
         self.minimum_keyframes = params.minimumKeyFrames
         self.min_parallax = float(params.minimumParallax)
+        self.octave_information = getattr(params, "octaveInformation", True)
 
         self.initialization_allowed = False
         self.initializer: Initializer | None = None
@@ -116,6 +117,14 @@ class Tracking:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _infos(self, res):
+        """Per-row (info1, info2) InvSigma2 weights for a match result,
+        honoring the octaveInformation flag (identity = fork behavior)."""
+        if self.octave_information:
+            return res.info1, res.info2
+        ones = np.ones(res.num_matches, np.float32)
+        return ones, ones
 
     def _log(self, *args):
         if self.verbose:
@@ -298,6 +307,7 @@ class Tracking:
 
         kp1f = self.ini_match_result.kp1_f
         kp2f = self.ini_match_result.kp2_f
+        inf1, inf2 = self._infos(self.ini_match_result)
         for i in range(self.ini_match_result.num_matches):
             if not self.ini_triangulated[i]:
                 continue
@@ -306,12 +316,14 @@ class Tracking:
             kp2 = tuple(self.ini_match_result.keypoints2[i])
             m1 = tuple(kp1f[i])
             m2 = tuple(kp2f[i])
-            kf_ini.keypoint_map.set_map_point(kp1, mp, measurement=m1)
-            kf_cur.keypoint_map.set_map_point(kp2, mp, measurement=m2)
-            mp.add_observation(kf_ini, kp1, measurement=m1)
-            mp.add_observation(kf_cur, kp2, measurement=m2)
+            kf_ini.keypoint_map.set_map_point(kp1, mp, measurement=m1, info=inf1[i])
+            kf_cur.keypoint_map.set_map_point(kp2, mp, measurement=m2, info=inf2[i])
+            mp.add_observation(kf_ini, kp1, measurement=m1, info=inf1[i])
+            mp.add_observation(kf_cur, kp2, measurement=m2, info=inf2[i])
             mp.update_normal_and_depth()
-            self.current_frame.keypoint_map.set_map_point(kp2, mp, measurement=m2)
+            self.current_frame.keypoint_map.set_map_point(
+                kp2, mp, measurement=m2, info=inf2[i]
+            )
             self.map.add_map_point(mp)
 
         kf_ini.update_connections()
@@ -370,12 +382,13 @@ class Tracking:
         if match_result.num_matches < self.min_local_match_count:
             return None
         kp1f = match_result.kp1_f
+        inf1, _ = self._infos(match_result)
         for i in range(match_result.num_matches):
             mp = match_result.get_map_point2(i)
             if mp is not None:
                 self.current_frame.keypoint_map.set_map_point(
                     tuple(match_result.keypoints1[i]), mp,
-                    measurement=tuple(kp1f[i]),
+                    measurement=tuple(kp1f[i]), info=inf1[i],
                 )
         optimize_frame_pose(self.current_frame)
 
@@ -550,13 +563,14 @@ class Tracking:
         results = self.matcher.match_against_many(self.current_frame, targets)
         for res in results:
             kp1f = res.kp1_f
+            inf1, _ = self._infos(res)
             for i in range(res.num_matches):
                 mp1 = res.get_map_point1(i)
                 mp2 = res.get_map_point2(i)
                 if mp1 is None and mp2 is not None:
                     self.current_frame.keypoint_map.set_map_point(
                         tuple(res.keypoints1[i]), mp2,
-                        measurement=tuple(kp1f[i]),
+                        measurement=tuple(kp1f[i]), info=inf1[i],
                     )
 
     # ------------------------------------------------------------------
@@ -618,12 +632,15 @@ class Tracking:
             # gather 3D-2D correspondences through kf's keypoint map
             pts3d, pts2d, mps = [], [], []
             kp1f = res.kp1_f
+            inf1, _ = self._infos(res)
             for i in range(res.num_matches):
                 mp = res.get_map_point2(i)
                 if mp is not None and not mp.is_bad:
                     pts3d.append(mp.world_pos)
                     pts2d.append(kp1f[i])
-                    mps.append((tuple(res.keypoints1[i]), mp, tuple(kp1f[i])))
+                    mps.append(
+                        (tuple(res.keypoints1[i]), mp, tuple(kp1f[i]), inf1[i])
+                    )
             if len(pts3d) < 4:
                 continue
             ok, Tcw, inliers = solve_pnp_ransac(
@@ -640,10 +657,10 @@ class Tracking:
                 continue
             self.current_frame.set_pose(Tcw)
             self.current_frame.keypoint_map.clear()
-            for j, (kp, mp, mf) in enumerate(mps):
+            for j, (kp, mp, mf, mi) in enumerate(mps):
                 if inliers[j]:
                     self.current_frame.keypoint_map.set_map_point(
-                        kp, mp, measurement=mf
+                        kp, mp, measurement=mf, info=mi
                     )
             n_good = optimize_frame_pose(self.current_frame)
             if n_good < 10:

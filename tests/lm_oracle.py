@@ -79,23 +79,29 @@ def _hrho(e2, robust):
     return np.where(e2 <= HUBER_DELTA2, e2, 2 * d * np.sqrt(e2) - HUBER_DELTA2)
 
 
-def pose_lm(T0, X, uv, mask, K, n_iters, robust):
-    """10-iteration-style LM for a single pose; returns final T."""
+def pose_lm(T0, X, uv, mask, K, n_iters, robust, info=None):
+    """10-iteration-style LM for a single pose; returns final T.
+
+    `info` = per-edge information weights (InvSigma2); chi2 and IRLS weights
+    are information-weighted like g2o's edge->chi2().
+    """
     T = T0.copy()
+    if info is None:
+        info = np.ones(len(X))
 
     def chi(Tc):
         _, e2, _, _, _ = _terms(Tc, X, uv, K)
-        return np.sum(_hrho(e2, robust) * mask)
+        return np.sum(_hrho(e2 * info, robust) * mask)
 
     r, e2, Jc, _, _ = _terms(T, X, uv, K)
-    w = _hw(e2, robust) * mask
+    w = _hw(e2 * info, robust) * info * mask
     H = np.einsum("eik,e,eil->kl", Jc, w, Jc)
     lam = TAU * H.diagonal().max()
     nu = 2.0
     c = chi(T)
     for _ in range(n_iters):
         r, e2, Jc, _, _ = _terms(T, X, uv, K)
-        w = _hw(e2, robust) * mask
+        w = _hw(e2 * info, robust) * info * mask
         H = np.einsum("eik,e,eil->kl", Jc, w, Jc)
         b = np.einsum("eik,e,ei->k", Jc, w, r)
         delta = -np.linalg.solve(H + lam * np.eye(6), b)
@@ -112,24 +118,28 @@ def pose_lm(T0, X, uv, mask, K, n_iters, robust):
     return T
 
 
-def pose_optimize_oracle(T0, X, uv, valid, K):
+def pose_optimize_oracle(T0, X, uv, valid, K, info=None):
     """Mirror of optim.pose_optimize: 4 rounds x 10 iters, restart each round."""
+    if info is None:
+        info = np.ones(len(X))
     inlier = np.ones(len(X), bool)
     T_fin = T0
     for rnd in range(4):
         mask = (valid & inlier).astype(np.float64)
-        T_fin = pose_lm(T0, X, uv, mask, K, 10, robust=rnd < 3)
+        T_fin = pose_lm(T0, X, uv, mask, K, 10, robust=rnd < 3, info=info)
         _, e2, _, _, _ = _terms(T_fin, X, uv, K)
-        inlier = e2 <= HUBER_DELTA2
+        inlier = e2 * info <= HUBER_DELTA2
     inlier &= valid
     return T_fin, inlier
 
 
-def ba_lm(cams, fixed, X, e_cam, e_pt, uv, emask, K, n_iters, robust):
+def ba_lm(cams, fixed, X, e_cam, e_pt, uv, emask, K, n_iters, robust, info=None):
     """Dense full-Hessian BA in f64 (no Schur) with the same LM policy."""
     C, P = len(cams), len(X)
     cams = [c.copy() for c in cams]
     X = X.copy()
+    if info is None:
+        info = np.ones(len(e_cam))
 
     def all_terms(cs, Xp):
         rs = np.zeros((len(e_cam), 2))
@@ -146,13 +156,13 @@ def ba_lm(cams, fixed, X, e_cam, e_pt, uv, emask, K, n_iters, robust):
 
     def chi(cs, Xp):
         _, e2, _, _, _ = all_terms(cs, Xp)
-        return np.sum(_hrho(e2, robust) * emask)
+        return np.sum(_hrho(e2 * info, robust) * emask)
 
     n = 6 * C + 3 * P
 
     def build(cs, Xp):
         r, e2, Jc, Jp, _ = all_terms(cs, Xp)
-        w = _hw(e2, robust) * emask
+        w = _hw(e2 * info, robust) * info * emask
         H = np.zeros((n, n))
         b = np.zeros(n)
         for e in range(len(e_cam)):

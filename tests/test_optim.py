@@ -212,3 +212,74 @@ class TestBundleAdjust:
         bad = np.asarray(bad)[: len(e_cam)]
         assert bad[out].all()
         assert bad.sum() < len(e_cam) * 0.25
+
+
+class TestOctaveInformation:
+    """Per-octave InvSigma2 information weights (upstream ORB-SLAM2 weighting
+    restored; the fork used identity information at Optimizer.cc:141,265)."""
+
+    def test_pose_parity_with_weighted_oracle(self, rng):
+        T_true, T0, X, uv, _ = make_pose_problem(rng, noise=0.8)
+        valid = np.ones(len(X), bool)
+        octaves = rng.integers(0, 8, len(X))
+        info = (1.2 ** (-2.0 * octaves)).astype(np.float64)
+        T_opt, inlier, _ = pose_optimize(
+            jnp.asarray(T0, jnp.float32),
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(K),
+            jnp.asarray(info, jnp.float32),
+        )
+        T_ref, inlier_ref = lm_oracle.pose_optimize_oracle(
+            T0, X, uv, valid, K, info=info
+        )
+        m = np.asarray(inlier) & inlier_ref
+        r_jax = rmse_pose(np.asarray(T_opt), X, uv, m)
+        r_ref = rmse_pose(T_ref, X, uv, m)
+        assert abs(r_jax - r_ref) < 1e-3, (r_jax, r_ref)
+
+    def test_weights_downweight_noisy_octaves(self, rng):
+        # half the measurements carry octave-7-level noise; weighting must
+        # recover a pose closer to truth than identity information
+        T_true, T0, X, uv, _ = make_pose_problem(rng, noise=0.0)
+        noisy = rng.random(len(X)) < 0.5
+        uv = uv + rng.normal(0, 2.5, uv.shape) * noisy[:, None]
+        info = np.where(noisy, 1.2 ** (-2.0 * 7), 1.0)
+        valid = jnp.ones(len(X), bool)
+        args = (
+            jnp.asarray(T0, jnp.float32),
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            valid,
+            jnp.asarray(K),
+        )
+        T_w, _, _ = pose_optimize(*args, jnp.asarray(info, jnp.float32))
+        T_id, _, _ = pose_optimize(*args)
+        err_w = np.abs(np.asarray(T_w, np.float64) - T_true).max()
+        err_id = np.abs(np.asarray(T_id, np.float64) - T_true).max()
+        assert err_w < err_id, (err_w, err_id)
+
+    def test_ba_parity_with_weighted_oracle(self, rng):
+        cams_true, cams0, fixed, X, X0, e_cam, e_pt, e_uv = make_ba_problem(
+            rng, n_cams=3, n_pts=40
+        )
+        octaves = rng.integers(0, 8, len(e_cam))
+        info = (1.2 ** (-2.0 * octaves)).astype(np.float64)
+        p = build_problem(
+            np.stack(cams0).astype(np.float32), fixed, X0.astype(np.float32),
+            e_cam, e_pt, e_uv.astype(np.float32), K,
+            e_info=info.astype(np.float32),
+        )
+        T_out, X_out, _ = bundle_adjust(p, n_iters=15, robust=False)
+        cams_ref, X_ref = lm_oracle.ba_lm(
+            cams0, fixed, X0, e_cam, e_pt, e_uv,
+            np.ones(len(e_cam)), K, 15, robust=False, info=info,
+        )
+        emask = np.ones(len(e_cam), bool)
+        cams_out = [np.asarray(T_out[c], np.float64) for c in range(len(cams0))]
+        r_jax = lm_oracle.reproj_rmse(
+            cams_out, np.asarray(X_out, np.float64), e_cam, e_pt, e_uv, emask, K
+        )
+        r_ref = lm_oracle.reproj_rmse(cams_ref, X_ref, e_cam, e_pt, e_uv, emask, K)
+        assert abs(r_jax - r_ref) < 1e-3, (r_jax, r_ref)

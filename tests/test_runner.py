@@ -109,3 +109,125 @@ class TestAppUtils:
         assert sys_.calls < 10  # frames were dropped while busy
         assert d.frames_dropped > 0
         assert d.frames_in == 10
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    """KITTI-format fixture: image_0/ + times.txt + calib.txt + poses.txt."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("kitti_seq")
+    world = PlaneWorld(second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(6, step=0.09)
+    os.makedirs(root / "image_0")
+    times, pose_rows = [], []
+    for i, T in enumerate(poses):
+        img = world.render(T).astype(np.uint8)
+        Image.fromarray(img, "L").save(root / "image_0" / f"{i:06d}.png")
+        times.append(f"{i * 0.1:.6e}")
+        Twc = np.linalg.inv(T)
+        pose_rows.append(" ".join(f"{v:.9e}" for v in Twc[:3].reshape(-1)))
+    (root / "times.txt").write_text("\n".join(times) + "\n")
+    (root / "poses.txt").write_text("\n".join(pose_rows) + "\n")
+    (root / "calib.txt").write_text(
+        f"P0: {world.f:.6e} 0 {world.cx:.6e} 0 0 {world.f:.6e} {world.cy:.6e} 0 0 0 1 0\n"
+        "P1: 7.0e+02 0 6.0e+02 -3.8e+02 0 7.0e+02 1.8e+02 0 0 0 1 0\n"
+    )
+    return root, world, poses
+
+
+@pytest.fixture(scope="module")
+def mini_euroc(tmp_path_factory):
+    """EuRoC-format fixture: mav0/cam0/{data.csv,data/,sensor.yaml} + GT csv."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("euroc_seq")
+    world = PlaneWorld(second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(6, step=0.09)
+    cam = root / "mav0" / "cam0"
+    gt = root / "mav0" / "state_groundtruth_estimate0"
+    os.makedirs(cam / "data")
+    os.makedirs(gt)
+    csv_lines = ["#timestamp [ns],filename"]
+    gt_lines = ["#timestamp, p_RS_R_x [m], ..."]
+    for i, T in enumerate(poses):
+        ns = int(i * 0.1 * 1e9)
+        img = world.render(T).astype(np.uint8)
+        Image.fromarray(img, "L").save(cam / "data" / f"{ns}.png")
+        csv_lines.append(f"{ns},{ns}.png")
+        Ow = -(T[:3, :3].T @ T[:3, 3])
+        gt_lines.append(f"{ns},{Ow[0]},{Ow[1]},{Ow[2]},1.0,0.0,0.0,0.0")
+    (cam / "data.csv").write_text("\n".join(csv_lines) + "\n")
+    (cam / "sensor.yaml").write_text(
+        "sensor_type: camera\ncamera_model: pinhole\n"
+        f"intrinsics: [{world.f}, {world.f}, {world.cx}, {world.cy}]\n"
+        "distortion_model: radial-tangential\n"
+    )
+    (gt / "data.csv").write_text("\n".join(gt_lines) + "\n")
+    return root, world, poses
+
+
+class TestKittiEurocPlumbing:
+    """VERDICT missing #5: --ate crashed on non-TUM ground truth; KITTI
+    calib.txt intrinsics were unparsed. These pin the full loader surface."""
+
+    def test_kitti_loader_and_calib(self, mini_kitti):
+        from mono_slam_framework_tpu.io import datasets
+
+        root, world, poses = mini_kitti
+        frames = list(datasets.load_kitti(str(root)))
+        assert len(frames) == 6
+        assert frames[0].image.shape == (world.h, world.w)
+        assert frames[2].timestamp == pytest.approx(0.2)
+        fx, fy, cx, cy = datasets.load_kitti_calib(str(root))
+        assert (fx, fy, cx, cy) == (world.f, world.f, world.cx, world.cy)
+
+    def test_kitti_groundtruth(self, mini_kitti):
+        from mono_slam_framework_tpu.io import datasets
+
+        root, world, poses = mini_kitti
+        t, p, q = datasets.load_kitti_groundtruth(str(root))
+        assert len(t) == 6
+        Ow = -(poses[3][:3, :3].T @ poses[3][:3, 3])
+        np.testing.assert_allclose(p[3], Ow, atol=1e-5)
+        assert np.allclose(np.linalg.norm(q, axis=1), 1.0)
+
+    def test_euroc_loader_calib_groundtruth(self, mini_euroc):
+        from mono_slam_framework_tpu.io import datasets
+
+        root, world, poses = mini_euroc
+        frames = list(datasets.load_euroc(str(root)))
+        assert len(frames) == 6
+        assert frames[0].image.shape == (world.h, world.w)
+        fx, fy, cx, cy = datasets.load_euroc_calib(str(root))
+        assert (fx, fy, cx, cy) == (world.f, world.f, world.cx, world.cy)
+        t, p, q = datasets.load_euroc_groundtruth(str(root))
+        assert len(t) == 6
+        assert t[1] == pytest.approx(0.1)
+        Ow = -(poses[2][:3, :3].T @ poses[2][:3, 3])
+        np.testing.assert_allclose(p[2], Ow, atol=1e-6)
+        # qw,qx,qy,qz in the csv -> TUM xyzw order out
+        np.testing.assert_allclose(q[0], [0, 0, 0, 1], atol=1e-9)
+
+    def test_runner_ate_dispatch_kitti(self, mini_kitti, tmp_path, capsys):
+        """--ate + auto-calib on a KITTI sequence must not crash (run.py
+        previously hardwired load_tum_groundtruth for every dataset)."""
+        from mono_slam_framework_tpu import run as runner
+
+        root, world, poses = mini_kitti
+        out = tmp_path / "traj_kitti.txt"
+        runner.main(
+            [
+                "--dataset", "kitti",
+                "--path", str(root),
+                "--matcher", "orb",
+                "--features", "300",
+                "--out", str(out),
+                "--max-frames", "6",
+                "--quiet",
+                "--ate",
+            ]
+        )
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["frames"] == 6
+        assert "ate_rmse" in summary  # inf is fine on 6 frames; no crash is the point
