@@ -87,7 +87,8 @@ def main(argv=None):
     p.add_argument("--ratio", type=float, default=0.6)
     p.add_argument("--min-ini-matches", type=int, default=100)
     p.add_argument("--model-fallback", action="store_true")
-    p.add_argument("--loftr-model", default="/root/reference/model/LoFTR_teacher.onnx")
+    p.add_argument("--loftr-model", default=None,
+                   help="override weights npz (default: repo checkpoint)")
     p.add_argument("--loftr-threshold", type=float, default=0.1)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--out-prefix", default="ab_traj")

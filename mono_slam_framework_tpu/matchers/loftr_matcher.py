@@ -1,28 +1,30 @@
 """LoFTR DNN matcher plugin.
 
 Capability twin of the reference DNNFeatureMatcher
-(src/dnnfeaturematcher.{h,cpp}): run the LoFTR_teacher model on two grayscale
-frames, threshold the [1200,1200] coarse confidence matrix, and decode cell
-pairs to pixel coordinates at 16px resolution — row index = image-1 cell,
-col = image-2 cell, x = (cell % 40)*16, y = (cell // 40)*16
+(src/dnnfeaturematcher.{h,cpp}): run the LoFTR coarse model on two grayscale
+frames, threshold the [1200,1200] confidence matrix, and decode cell pairs to
+pixel coordinates at 16px resolution — row index = image-1 cell, col =
+image-2 cell, x = (cell % 40)*16, y = (cell // 40)*16
 (dnnfeaturematcher.cpp:75-100). Default threshold 0.1 (src/main.cpp:63).
 
-TPU adaptation: the model runs as one jitted XLA program (see models/loftr);
-selection returns a fixed-capacity top-`max_matches` set by confidence
-(the reference returns every cell above threshold; a fixed cap keeps shapes
-static — the cap is far above typical above-threshold counts).
+TPU adaptation: the model is the repo-owned native JAX forward
+(models/loftr_native.py — weights in models/weights/, no ONNX at runtime).
+The backbone runs once per frame and its [L, C] features are cached by frame
+id, so every additional match against the same frame pays only the pairwise
+transformer; `match_against_many` vmaps that transformer over a stack of
+cached keyframe features, turning the keyframe database's serial scan
+(KeyFrameDatabase.cc:31, 63-70) into one batched device program. Selection
+returns a fixed-capacity top-`max_matches` set by confidence (the reference
+returns every cell above threshold; the static cap keeps shapes
+jit-compatible and sits far above typical above-threshold counts).
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mono_slam_framework_tpu.matchers.base import FeatureMatcher, MatchFramesResult
-from mono_slam_framework_tpu.models.loftr import LoftrModel, execute_graph
+from mono_slam_framework_tpu.models import loftr_native
 
 MODEL_H, MODEL_W = 480, 640
 CELL = 16  # model_resolution (src/main.cpp:64)
@@ -31,68 +33,103 @@ GRID_H = MODEL_H // CELL  # 30
 L = GRID_W * GRID_H  # 1200
 
 
+def _decode_cells(flat_idx: np.ndarray):
+    """flat (cell1 * L + cell2) -> integer pixel (x, y) per image."""
+    cell1 = flat_idx // L
+    cell2 = flat_idx - cell1 * L
+    xy1 = np.stack([(cell1 % GRID_W) * CELL, (cell1 // GRID_W) * CELL], -1)
+    xy2 = np.stack([(cell2 % GRID_W) * CELL, (cell2 // GRID_W) * CELL], -1)
+    return xy1.astype(np.int32), xy2.astype(np.int32)
+
+
 class LoftrFeatureMatcher(FeatureMatcher):
     def __init__(
         self,
-        model_path: str = "/root/reference/model/LoFTR_teacher.onnx",
+        model_path: str | None = None,
         threshold: float = 0.1,
         max_matches: int = 1024,
+        cache_size: int = 512,
     ):
-        self.model = LoftrModel(model_path)
+        import collections
+
+        self.params = loftr_native.load_params(model_path)
         self.threshold = float(threshold)
         self.max_matches = int(max_matches)
-        graph = self.model.graph
-        host_consts = self.model._host_consts
+        self.cache_size = int(cache_size)
+        # frame id -> ([1, L, C] device features, (sx, sy) image/model scale);
+        # LRU-bounded like the ORB feature cache (153 KB per entry on device)
+        self._feat_cache: "collections.OrderedDict" = collections.OrderedDict()
 
-        @functools.partial(jax.jit, static_argnames=("max_matches",))
-        def match_fn(params, img0, img1, threshold, max_matches):
-            merged = {**host_consts, **params}
-            conf = execute_graph(
-                graph, merged, {"img0": img0, "img1": img1}
-            )[0][0]  # [L, L]
-            flat = conf.reshape(-1)
-            if jax.devices()[0].platform == "tpu":
-                vals, idx = jax.lax.approx_max_k(flat, max_matches)
-            else:
-                vals, idx = jax.lax.top_k(flat, max_matches)
-            ok = vals > threshold
-            cell1 = idx // L
-            cell2 = idx - cell1 * L
-            x1 = (cell1 % GRID_W) * CELL
-            y1 = (cell1 // GRID_W) * CELL
-            x2 = (cell2 % GRID_W) * CELL
-            y2 = (cell2 // GRID_W) * CELL
-            xy1 = jnp.stack([x1, y1], -1).astype(jnp.int32)
-            xy2 = jnp.stack([x2, y2], -1).astype(jnp.int32)
-            return xy1, xy2, ok, vals
+    def _frame_key(self, frame):
+        return getattr(frame, "matcher_key", None) or id(frame)
 
-        self._match_fn = match_fn
+    def _features(self, frame):
+        key = self._frame_key(frame)
+        hit = self._feat_cache.get(key)
+        if hit is not None:
+            self._feat_cache.move_to_end(key)
+            return hit
+        import jax.numpy as jnp
 
-    def _prep(self, frame):
         img = np.asarray(frame.image, np.float32)
         h, w = img.shape
-        self._scale = (w / MODEL_W, h / MODEL_H)
+        scale = (w / MODEL_W, h / MODEL_H)
+        dev = jnp.asarray(img)
         if (h, w) != (MODEL_H, MODEL_W):
             import jax.image
 
-            img = np.asarray(
-                jax.image.resize(jnp.asarray(img), (MODEL_H, MODEL_W), "bilinear")
-            )
-        return (img / 255.0)[None, None]  # ConvertImageToFloat, cpp:5-9
+            dev = jax.image.resize(dev, (MODEL_H, MODEL_W), "bilinear")
+        feats = loftr_native.encode(self.params, (dev / 255.0)[None, None])
+        self._feat_cache[key] = (feats, scale)
+        if len(self._feat_cache) > self.cache_size:
+            self._feat_cache.popitem(last=False)  # evict LRU; recomputable
+        return feats, scale
 
-    def match_frames(self, frame1, frame2) -> MatchFramesResult:
-        i0 = self._prep(frame1)
-        i1 = self._prep(frame2)
-        xy1, xy2, ok, _ = self._match_fn(
-            self.model.params, i0, i1, self.threshold, self.max_matches
-        )
-        ok = np.asarray(ok)
-        sx, sy = self._scale
-        kp1 = (np.asarray(xy1)[ok] * [sx, sy]).astype(np.int32)
-        kp2 = (np.asarray(xy2)[ok] * [sx, sy]).astype(np.int32)
+    def drop_frame_cache(self, frame_id=None) -> None:
+        if frame_id is None:
+            self._feat_cache.clear()
+        else:
+            self._feat_cache.pop(frame_id, None)
+
+    def _decode_result(self, frame1, frame2, vals, idx, scale1, scale2):
+        vals = np.asarray(vals)
+        ok = vals > self.threshold
+        xy1, xy2 = _decode_cells(np.asarray(idx)[ok])
+        kp1 = (xy1 * np.asarray(scale1, np.float32)).astype(np.int32)
+        kp2 = (xy2 * np.asarray(scale2, np.float32)).astype(np.int32)
         return MatchFramesResult(
             frame1=frame1, frame2=frame2, keypoints1=kp1, keypoints2=kp2
         )
+
+    def match_frames(self, frame1, frame2) -> MatchFramesResult:
+        f0, scale1 = self._features(frame1)
+        f1, scale2 = self._features(frame2)
+        vals, idx = loftr_native.match_features_topk(
+            self.params, f0, f1, self.max_matches
+        )
+        return self._decode_result(frame1, frame2, vals[0], idx[0], scale1, scale2)
+
+    def match_against_many(self, frame, others):
+        """One batched device call for a database scan (see module docstring)."""
+        import jax.numpy as jnp
+
+        if not others:
+            return []
+        fq, scale_q = self._features(frame)
+        stacks, scales = [], []
+        for o in others:
+            f, s = self._features(o)
+            stacks.append(f[0])
+            scales.append(s)
+        f_stack = jnp.stack(stacks)
+        vals, idx = loftr_native.match_one_against_many(
+            self.params, fq, f_stack, self.max_matches
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return [
+            self._decode_result(frame, o, vals[i], idx[i], scale_q, scales[i])
+            for i, o in enumerate(others)
+        ]
 
     def set_threshold(self, value: float) -> None:
         self.threshold = float(value)

@@ -1,4 +1,9 @@
-"""LoFTR coarse matcher: the reference's DNN model, executed natively in JAX.
+"""LoFTR coarse matcher: ONNX-graph interpreter (golden oracle since round 2).
+
+The runtime model is models/loftr_native.py (hand-written forward, repo-owned
+weights). This interpreter executes the reference's .onnx export op-by-op and
+serves as the in-repo parity oracle for the native forward
+(tests/test_loftr.py::TestGoldenParity); it is not on any runtime path.
 
 The reference runs model/LoFTR_teacher.onnx through ONNX Runtime on CPU
 (src/dnnfeaturematcher.cpp:50-74): inputs two [1,1,480,640] f32 images,
@@ -196,5 +201,11 @@ class LoftrModel:
 
 
 @functools.lru_cache(maxsize=1)
-def default_model(path: str = "/root/reference/model/LoFTR_teacher.onnx") -> LoftrModel:
+def default_model(path: str) -> LoftrModel:
+    """Interpreter for an explicit .onnx path.
+
+    Since round 2 the runtime model is models/loftr_native.py (repo-owned
+    weights); this interpreter remains as the in-repo golden oracle the
+    native forward is parity-tested against when an ONNX export is present.
+    """
     return LoftrModel(path)

@@ -64,7 +64,8 @@ def main(argv=None):
         action="store_true",
         help="retry the other H/F model when the selected one fails (QUIRKS.md)",
     )
-    p.add_argument("--loftr-model", default="/root/reference/model/LoFTR_teacher.onnx")
+    p.add_argument("--loftr-model", default=None,
+                   help="override weights npz (default: repo checkpoint)")
     p.add_argument("--loftr-threshold", type=float, default=0.1)
     p.add_argument(
         "--gamma",
