@@ -1,7 +1,15 @@
+from mono_slam_framework_tpu.parallel.loftr_tp import loftr_tp_confidence
 from mono_slam_framework_tpu.parallel.sweep import (
     make_mesh,
+    sharded_loftr_sweep,
     sharded_matcher_sweep,
     sharded_tracking_step,
 )
 
-__all__ = ["make_mesh", "sharded_matcher_sweep", "sharded_tracking_step"]
+__all__ = [
+    "loftr_tp_confidence",
+    "make_mesh",
+    "sharded_loftr_sweep",
+    "sharded_matcher_sweep",
+    "sharded_tracking_step",
+]

@@ -71,6 +71,39 @@ def sharded_matcher_sweep(
     return fn(images1, images2)
 
 
+def sharded_loftr_sweep(mesh: Mesh, feats1, feats2, max_matches: int = 256):
+    """Data-parallel LoFTR A/B surface: a batch of encoded feature pairs
+    sharded over the mesh, each device running the pairwise coarse
+    transformer + top-k decode (models/loftr_native.py). Complements the
+    token-sharded tensor-parallel variant in parallel/loftr_tp.py.
+
+    feats1/feats2: [B, L, C] encoded frame features (B divisible by mesh
+    size). Returns (vals [B, K], flat_idx [B, K]) per pair.
+    """
+    from mono_slam_framework_tpu.models import loftr_native
+
+    params = loftr_native.load_params()
+
+    def shard_fn(f1, f2):
+        def one(a, b):
+            vals, idx = loftr_native.match_features_topk(
+                params, a[None], b[None], max_matches
+            )
+            return vals[0], idx[0]
+
+        return jax.vmap(one)(f1, f2)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+    )
+    return fn(feats1, feats2)
+
+
 def sharded_tracking_step(
     mesh: Mesh,
     images1,

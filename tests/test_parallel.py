@@ -30,6 +30,38 @@ class TestShardedSweep:
         per_item = np.asarray(ok).sum(axis=1)
         assert (per_item > 0).mean() > 0.8
 
+    def test_loftr_tensor_parallel_matches_single_device(self):
+        """Token-sharded transformer + cross-shard dual softmax == reference."""
+        from mono_slam_framework_tpu.models import loftr_native
+        from mono_slam_framework_tpu.parallel import loftr_tp_confidence, make_mesh
+
+        params = loftr_native.load_params()
+        rng = np.random.default_rng(1)
+        f0 = jnp.asarray(rng.normal(size=(1, 1200, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(1, 1200, 32)).astype(np.float32))
+        ref = np.asarray(loftr_native.confidence_from_features(params, f0, f1))
+        tp = np.asarray(loftr_tp_confidence(make_mesh(8), params, f0, f1))
+        assert np.abs(ref - tp).max() < 1e-5
+
+    def test_loftr_data_parallel_sweep(self):
+        """A batch of encoded pairs sharded over the mesh: per-pair top-k
+        must match the single-device matcher on each pair."""
+        from mono_slam_framework_tpu.models import loftr_native
+        from mono_slam_framework_tpu.parallel import make_mesh, sharded_loftr_sweep
+
+        params = loftr_native.load_params()
+        rng = np.random.default_rng(2)
+        B = 8
+        f1 = jnp.asarray(rng.normal(size=(B, 1200, 32)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(B, 1200, 32)).astype(np.float32))
+        vals, idx = sharded_loftr_sweep(make_mesh(8), f1, f2, max_matches=16)
+        assert vals.shape == (B, 16) and idx.shape == (B, 16)
+        rv, ri = loftr_native.match_features_topk(
+            params, f1[3:4], f2[3:4], 16
+        )
+        assert np.allclose(np.asarray(vals)[3], np.asarray(rv)[0], atol=1e-6)
+        assert np.array_equal(np.asarray(idx)[3], np.asarray(ri)[0])
+
     def test_graft_entry_dryrun(self):
         spec = importlib.util.spec_from_file_location(
             "graft_entry", "/root/repo/__graft_entry__.py"
