@@ -51,6 +51,28 @@ def exp_so3(w):
     return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
 
 
+def orthonormalize(T):
+    """Project the rotation block of a 4x4 (or [...,4,4]) transform onto SO(3).
+
+    g2o's VertexSE3Expmap stores an SE3Quat (unit quaternion + translation),
+    so every upstream optimization implicitly returns an exactly-orthonormal
+    rotation (Optimizer.cc:217-334 via SE3Quat::to_homogeneous_matrix). Raw
+    4x4 storage must do this explicitly: float32 accumulation through the
+    motion-model composition loop (Tracking.cc:155-165 twin) otherwise
+    AMPLIFIES off-manifold error ~2.4x per frame — the rotation block decays
+    toward zero within ~20 frames, collapsing tracked scale (diagnosed
+    round 2; see KNOWN_ISSUES.md).
+
+    Two Newton steps of the polar decomposition (R <- 1.5 R - 0.5 R R^T R),
+    quadratically convergent for near-orthonormal R: e=1e-3 -> ~1e-12.
+    Branch-free and jit/vmap-friendly.
+    """
+    R = T[..., :3, :3]
+    for _ in range(2):
+        R = 1.5 * R - 0.5 * R @ jnp.swapaxes(R, -1, -2) @ R
+    return T.at[..., :3, :3].set(R)
+
+
 def log_so3(R):
     """3x3 rotation -> 3-vector (angle-axis)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]

@@ -3,6 +3,7 @@ from mono_slam_framework_tpu.optim.bundle_adjust import (
     BAProblem,
     build_problem,
     bundle_adjust,
+    global_bundle_adjust,
     local_bundle_adjust,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "BAProblem",
     "build_problem",
     "bundle_adjust",
+    "global_bundle_adjust",
     "local_bundle_adjust",
 ]

@@ -135,4 +135,7 @@ def pose_optimize(T_init, Xw, uv, valid, K, info=None):
     )
     inlier = inlier & valid
     n_good = jnp.sum(inlier.astype(jnp.int32))
-    return T_fin, inlier, n_good
+    # g2o returns SE3Quat-backed estimates (exactly orthonormal); project the
+    # matrix-backed result likewise or the tracking composition loop amplifies
+    # off-manifold error exponentially (see se3.orthonormalize)
+    return se3.orthonormalize(T_fin), inlier, n_good

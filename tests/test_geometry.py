@@ -55,6 +55,30 @@ class TestSE3:
         q = np.asarray(se3.rotation_to_quaternion(R))
         np.testing.assert_allclose(q, [0, 0, np.sqrt(0.5), np.sqrt(0.5)], atol=1e-6)
 
+    def test_orthonormalize_projects_to_so3(self, rng):
+        """The g2o-SE3Quat invariant restorer (round-2 manifold-decay fix,
+        KNOWN_ISSUES.md): near-orthonormal rotations project back to SO(3)
+        at float eps, exact rotations are fixed points, translation and the
+        homogeneous row are untouched."""
+        xi = jnp.asarray(rng.normal(size=6).astype(np.float32))
+        T = np.asarray(se3.exp_se3(xi))
+        # contaminate like the motion-model loop does: scale + noise
+        T_bad = T.copy()
+        T_bad[:3, :3] = T_bad[:3, :3] * 1.01 + rng.normal(
+            scale=2e-3, size=(3, 3)
+        ).astype(np.float32)
+        T_fix = np.asarray(se3.orthonormalize(jnp.asarray(T_bad)))
+        R = T_fix[:3, :3]
+        assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5
+        assert np.linalg.det(R) > 0.999
+        np.testing.assert_array_equal(T_fix[:3, 3], T_bad[:3, 3])
+        np.testing.assert_array_equal(T_fix[3], T_bad[3])
+        # projection is close to the original uncontaminated rotation
+        assert np.abs(T_fix[:3, :3] - T[:3, :3]).max() < 5e-3
+        # fixed point on exact rotations
+        T_same = np.asarray(se3.orthonormalize(jnp.asarray(T)))
+        np.testing.assert_allclose(T_same, T, atol=1e-6)
+
     def test_camera_center(self, rng):
         xi = jnp.asarray(rng.normal(size=6).astype(np.float32))
         T = se3.exp_se3(xi)

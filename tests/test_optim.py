@@ -283,3 +283,97 @@ class TestOctaveInformation:
         )
         r_ref = lm_oracle.reproj_rmse(cams_ref, X_ref, e_cam, e_pt, e_uv, emask, K)
         assert abs(r_jax - r_ref) < 1e-3, (r_jax, r_ref)
+
+
+class TestGlobalBACG:
+    """Matrix-free PCG global BA (optim/bundle_adjust.py::global_bundle_adjust;
+    the scalable LoopClosing GBA path, Optimizer.cc:62-215 at scale)."""
+
+    def test_cg_parity_with_dense(self, rng):
+        from mono_slam_framework_tpu.optim import global_bundle_adjust
+
+        cams_true, cams0, fixed, X, X0, e_cam, e_pt, e_uv = make_ba_problem(rng)
+        p = build_problem(
+            np.stack(cams0).astype(np.float32), fixed, X0.astype(np.float32),
+            e_cam, e_pt, e_uv.astype(np.float32), K,
+        )
+        T_d, X_d, _ = bundle_adjust(p, n_iters=20, robust=True)
+        T_c, X_c, _ = global_bundle_adjust(p, n_iters=20, robust=True, cg_iters=80)
+        emask = np.ones(len(e_cam), bool)
+        r_d = lm_oracle.reproj_rmse(
+            [np.asarray(T_d[c], np.float64) for c in range(len(cams0))],
+            np.asarray(X_d, np.float64), e_cam, e_pt, e_uv, emask, K,
+        )
+        r_c = lm_oracle.reproj_rmse(
+            [np.asarray(T_c[c], np.float64) for c in range(len(cams0))],
+            np.asarray(X_c, np.float64), e_cam, e_pt, e_uv, emask, K,
+        )
+        # both land at the same noise floor; fixed camera bit-preserved
+        assert r_c < 0.8 and abs(r_c - r_d) < 0.1, (r_c, r_d)
+        np.testing.assert_array_equal(np.asarray(T_c[0]), p.cam_T[0])
+
+    def test_cg_scales_without_pair_list(self, rng):
+        """A 200-camera / 20k-point map: the dense path's pair list would
+        hold ~sum(deg^2) entries and S would be [1200,1200] — the CG path
+        never builds either and must still reduce the error."""
+        from mono_slam_framework_tpu.optim import global_bundle_adjust
+
+        n_cams, n_pts = 200, 20000
+        X = np.stack(
+            [
+                rng.uniform(-30, 30, n_pts),
+                rng.uniform(-2, 2, n_pts),
+                rng.uniform(4, 10, n_pts),
+            ],
+            -1,
+        )
+        cams_true = []
+        for c in range(n_cams):
+            T = np.eye(4)
+            T[:3, 3] = [-0.3 * c + rng.normal() * 0.01, 0, 0]
+            cams_true.append(T)
+        e_cam, e_pt, e_uv = [], [], []
+        for c, T in enumerate(cams_true):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            uv = (Xc[:, :2] / Xc[:, 2:]) * 500 + [320, 240]
+            inside = (
+                (uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0) & (uv[:, 1] < 480)
+            )
+            # cap per-camera edges to keep the test fast but high-degree
+            idx = np.nonzero(inside)[0][:300]
+            for pt in idx:
+                e_cam.append(c)
+                e_pt.append(int(pt))
+                e_uv.append(uv[pt] + rng.normal(0, 0.3, 2))
+        assert len(e_cam) > 30000
+        cams0 = [cams_true[0]]
+        for T in cams_true[1:]:
+            xi = rng.normal(size=6) * 0.005
+            cams0.append(
+                np.asarray(se3.exp_se3(jnp.asarray(xi, jnp.float32)), np.float64) @ T
+            )
+        X0 = X + rng.normal(0, 0.03, X.shape)
+        fixed = np.zeros(n_cams, bool)
+        fixed[0] = True
+
+        p = build_problem(
+            np.stack(cams0).astype(np.float32), fixed, X0.astype(np.float32),
+            np.asarray(e_cam, np.int32), np.asarray(e_pt, np.int32),
+            np.asarray(e_uv, np.float32), K, with_pairs=False,
+        )
+        assert p.pair_i.shape[0] <= 2  # no quadratic pair list was built
+        T_out, X_out, chi = global_bundle_adjust(
+            p, n_iters=6, robust=False, cg_iters=40
+        )
+        emask = np.ones(len(e_cam), bool)
+        cams_out = [np.asarray(T_out[c], np.float64) for c in range(n_cams)]
+        r0 = lm_oracle.reproj_rmse(
+            cams0, X0, np.asarray(e_cam), np.asarray(e_pt), np.asarray(e_uv),
+            emask, K,
+        )
+        r1 = lm_oracle.reproj_rmse(
+            cams_out, np.asarray(X_out, np.float64), np.asarray(e_cam),
+            np.asarray(e_pt), np.asarray(e_uv), emask, K,
+        )
+        assert np.isfinite(r1)
+        assert r1 < r0 * 0.5, (r0, r1)

@@ -82,9 +82,11 @@ class TestPipeline:
         assert n_assoc >= 2
         # Early-map fidelity: scale-aligned ATE over the first tracked frames
         # must be tight (per-frame trajectory via the full-frame export, an
-        # upstream-ORB-SLAM2 API the fork dropped). Full-trajectory ATE on
-        # this fast synthetic sequence is limited by the reference's
-        # integer-coordinate noise floor (KNOWN_ISSUES.md) — loose bound only.
+        # upstream-ORB-SLAM2 API the fork dropped). Full-trajectory ATE is
+        # tight too since the round-2 SO(3) projection fix (the round-1
+        # "scale drift" was exponential off-manifold decay of float32 pose
+        # compositions, killed by se3.orthonormalize after every pose/BA
+        # optimization; measured 0.40 -> 0.043 on this sequence).
         frame_traj = tmp_path / "frames.txt"
         system.save_trajectory_tum(str(frame_traj))
         t_fr, p_fr, _ = trajectory.read_tum(str(frame_traj))
@@ -92,8 +94,8 @@ class TestPipeline:
         k = min(12, len(t_fr))
         ate_early, n_early = trajectory.ate_rmse(t_fr[:k], p_fr[:k], gt_t, gt_p)
         assert n_early >= 6
-        assert ate_early < 0.1, ate_early
-        assert ate < 0.8, ate
+        assert ate_early < 0.05, ate_early
+        assert ate < 0.15, ate
 
         # public API surface
         assert system.get_current_position() is not None
