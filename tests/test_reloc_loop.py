@@ -64,3 +64,95 @@ class TestLoopClosing:
         if system.loop_closer.last_loop_kf_id > 0:
             # loop fired: global BA ran and flagged the big change
             assert system.map_changed()
+
+    def test_detect_and_correct_loop_deterministic(self, world):
+        """DetectLoop -> CorrectLoop -> staged GBA -> spanning-tree
+        propagation, exercised deterministically (LoopClosing.cc:69-199 /
+        slam/loop_closing.py): a revisit keyframe is constructed surgically at
+        the first keyframe's viewpoint with its OWN duplicate map points (the
+        genuine-loop situation: same place, new points, no covisibility edge
+        to the old keyframe), so the database scan must return the old
+        keyframe and the full correction path must run."""
+        import numpy as np
+
+        from mono_slam_framework_tpu.slam.map_model import MapPoint
+
+        poses = lateral_trajectory(16, step=0.07)
+        system = build_system(world)
+        system.toggle_initialization_allowed()
+        states = run_sequence(system, world, poses)
+        assert TrackingState.OK in states
+        assert system.map.n_keyframes() >= 3
+
+        tracker = system.tracker
+        kfs = sorted(system.map.all_keyframes(), key=lambda k: k.id)
+        kf_old = kfs[0]
+
+        # a new frame at kf_old's exact viewpoint, far in frame-id terms
+        frame = tracker.frame_factory.create(
+            kf_old.image, timestamp=99.0, K=tracker.K
+        )
+        frame.set_pose(kf_old.get_pose())
+        kf_new = tracker.keyframe_factory.create(frame, system.map, system.kf_db)
+        system.map.add_keyframe(kf_new)
+
+        # associate matched pixels with NEW duplicate points (both sides of
+        # the DB scan then resolve a MapPoint, detect_loop_candidate's
+        # num_mp gate, kfdb.py:74-78, while covisibility stays empty)
+        res = system.matcher.match_frames(kf_new, kf_old)
+        assert res.num_matches > system.params.minNumMPMatches
+        n_assoc = 0
+        for i in range(res.num_matches):
+            mp_old = res.get_map_point2(i)
+            if mp_old is None:
+                continue
+            dup = MapPoint(mp_old.world_pos.copy(), kf_new, system.map)
+            kp1 = tuple(res.keypoints1[i])
+            kf_new.keypoint_map.set_map_point(
+                kp1, dup, measurement=tuple(res.kp1_f[i])
+            )
+            dup.add_observation(kf_new, kp1, measurement=tuple(res.kp1_f[i]))
+            system.map.add_map_point(dup)
+            n_assoc += 1
+        assert n_assoc > system.params.minNumMPMatches
+
+        # cooldown satisfied: kf ids run past loopDetectionMaxFrames
+        assert kf_new.id >= system.params.loopDetectionMaxFrames
+        assert kf_old not in kf_new.get_connected_keyframes()
+
+        poses_before = {kf.id: kf.get_pose().copy() for kf in kfs}
+        changes_before = system.map.get_last_big_change_idx()
+
+        system.loop_closer.insert_keyframe(kf_new)
+        system.loop_closer.run()
+
+        # DetectLoop fired and CorrectLoop completed; the matched candidate
+        # is one of the pre-loop keyframes viewing the revisited place (the
+        # best-scoring unconnected KF, kfdb.py:70-79 — kf_old or a neighbor
+        # sharing its view)
+        assert system.loop_closer.last_loop_kf_id == kf_new.id
+        assert system.loop_closer.matched_kf in kfs
+        # staged GBA results were applied: every surviving pre-loop keyframe
+        # carries the pre-BA snapshot and the loop-BA generation tag
+        for kf in kfs:
+            if kf.is_bad:
+                continue
+            assert kf.Tcw_bef_gba is not None
+            np.testing.assert_allclose(
+                kf.Tcw_bef_gba, poses_before[kf.id], atol=1e-6
+            )
+        # spanning-tree propagation reached every keyframe (directly BA'd or
+        # propagated from its parent: ba_global_for_kf stamped either way)
+        for kf in system.map.all_keyframes():
+            if kf.is_bad:
+                continue
+            assert kf.ba_global_for_kf == kf_new.id, kf.id
+        # corrected poses stay valid SE(3)
+        for kf in system.map.all_keyframes():
+            if kf.is_bad:
+                continue
+            R = kf.get_pose()[:3, :3]
+            assert np.abs(R @ R.T - np.eye(3)).max() < 1e-4
+        # the big-change flag observed by consumers (MapDrawer / clients)
+        assert system.map.get_last_big_change_idx() > changes_before
+        assert system.map_changed()
