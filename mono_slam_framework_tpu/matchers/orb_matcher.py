@@ -17,7 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from mono_slam_framework_tpu.matchers.base import FeatureMatcher, MatchFramesResult
 from mono_slam_framework_tpu.ops import hamming, orb
@@ -96,17 +96,20 @@ class OrbFeatureMatcher(FeatureMatcher):
     def match_frames(self, frame1, frame2) -> MatchFramesResult:
         f1 = self.features_for(frame1)
         f2 = self.features_for(frame2)
-        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = _match_jit(f1, f2, self.threshold)
-        ok_np = np.asarray(ok)
+        # ONE host readback for all outputs: each separate np.asarray is a
+        # blocking device->host transfer (~27 ms RTT through the axon relay)
+        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = jax.device_get(
+            _match_jit(f1, f2, self.threshold)
+        )
         return MatchFramesResult(
             frame1=frame1,
             frame2=frame2,
-            keypoints1=np.asarray(xy1)[ok_np],
-            keypoints2=np.asarray(xy2)[ok_np],
-            keypoints1_f=np.asarray(xy1f)[ok_np] if self.subpixel else None,
-            keypoints2_f=np.asarray(xy2f)[ok_np] if self.subpixel else None,
-            octaves1=np.asarray(oc1)[ok_np],
-            octaves2=np.asarray(oc2)[ok_np],
+            keypoints1=xy1[ok],
+            keypoints2=xy2[ok],
+            keypoints1_f=xy1f[ok] if self.subpixel else None,
+            keypoints2_f=xy2f[ok] if self.subpixel else None,
+            octaves1=oc1[ok],
+            octaves2=oc2[ok],
         )
 
     def match_against_many(self, frame, others):
@@ -115,12 +118,9 @@ class OrbFeatureMatcher(FeatureMatcher):
         f1 = self.features_for(frame)
         feats = [self.features_for(o) for o in others]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
-        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = _match_many_jit(
-            f1, stacked, self.threshold
+        xy1, xy2, xy1f, xy2f, oc1, oc2, ok = jax.device_get(
+            _match_many_jit(f1, stacked, self.threshold)
         )
-        xy1, xy2, ok = np.asarray(xy1), np.asarray(xy2), np.asarray(ok)
-        xy1f, xy2f = np.asarray(xy1f), np.asarray(xy2f)
-        oc1, oc2 = np.asarray(oc1), np.asarray(oc2)
         results = []
         for i, o in enumerate(others):
             m = ok[i]

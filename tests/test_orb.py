@@ -5,6 +5,9 @@ images: corners are found where corners are, descriptors match under
 translation, the ratio test rejects garbage, and shapes/dtypes are static.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -140,3 +143,51 @@ class TestOrbMatcher:
         many = m.match_against_many(fa, [fb, fb])
         assert many[0].num_matches == res.num_matches
         np.testing.assert_array_equal(many[1].keypoints2, res.keypoints2)
+
+
+class TestOrbRegression:
+    """Determinism + quality pins for the front end (VERDICT round 1: keypoint
+    selection uses approx_max_k and an own rBRIEF pattern — regression-guard
+    the exact output so front-end changes can't silently degrade matching)."""
+
+    GOLDEN = os.path.join(os.path.dirname(__file__), "data", "orb_golden.npz")
+
+    def test_golden_extraction(self):
+        """Exact keypoint/descriptor pin on a fixed image (CPU backend: the
+        top_k selection path is fully deterministic; guards drift across jax
+        versions and refactors of the detect/orient/describe stages)."""
+        if jax.default_backend() != "cpu":
+            pytest.skip("golden values pinned on the deterministic CPU path")
+        g = np.load(self.GOLDEN)
+        img = jnp.asarray(textured_image(np.random.default_rng(int(g["img_seed"]))))
+        f = orb.extract(img, 300)
+        np.testing.assert_array_equal(np.asarray(f.valid), g["valid"])
+        np.testing.assert_allclose(np.asarray(f.xy), g["xy"], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(f.desc), g["desc"])
+        np.testing.assert_array_equal(np.asarray(f.octave), g["octave"])
+        np.testing.assert_allclose(np.asarray(f.angle), g["angle"], atol=1e-4)
+
+    def test_known_shift_recall(self):
+        """Recall of ground-truth correspondences on a known translation:
+        every level-0 keypoint in the overlap has an exact GT partner, so
+        matcher recall at 2 px is a direct front-end quality metric."""
+        rng = np.random.default_rng(11)
+        base = textured_image(rng)
+        shift = 12
+        f1 = orb.extract(jnp.asarray(base), 400)
+        f2 = orb.extract(jnp.asarray(np.roll(base, shift, axis=1)), 400)
+        d = hamming.distance_matrix(f1.desc, f2.desc, f1.valid, f2.valid)
+        idx2, ok = hamming.knn2_ratio_match(d, 0.7)
+        ok = np.asarray(ok) & np.asarray(f1.valid)
+        xy1 = np.asarray(f1.xy)
+        xy2 = np.asarray(f2.xy)[np.asarray(idx2)]
+        # keypoints whose GT partner stays in frame
+        in_overlap = (xy1[:, 0] < 640 - shift - orb.BORDER) & ok
+        err = np.hypot(
+            xy2[:, 0] - xy1[:, 0] - shift, xy2[:, 1] - xy1[:, 1]
+        )
+        recall2 = (err[in_overlap] <= 2.0).mean()
+        assert recall2 > 0.85, recall2
+        # and the median localization error of correct matches stays subpixel
+        correct = err[in_overlap][err[in_overlap] <= 2.0]
+        assert np.median(correct) < 1.0
