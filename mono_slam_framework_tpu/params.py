@@ -43,6 +43,13 @@ class SlamParameters:
     # SlamParameters.h:34).
     minimumParallax: float = 1.1
 
+    # Opt-in escape from the post-relocalization KF-insertion cooldown
+    # (Tracking.cc:525-527 blocks insertion for maxFrames after reloc; with a
+    # fast camera the map starves while inliers decay — KNOWN_ISSUES.md).
+    # When > 0, a new keyframe may be inserted during the cooldown if tracked
+    # inliers drop below this floor. 0 = reference behavior (default).
+    relocCooldownInlierFloor: int = 0
+
     # ---- TPU static-shape capacities (new; no reference counterpart) ----
     # Max features extracted per frame (ORB front-end budget).
     max_features: int = 512

@@ -73,6 +73,13 @@ def main(argv=None):
         default=1.0,
         help="gamma LUT applied before tracking (reference main.cpp:21-39)",
     )
+    p.add_argument(
+        "--reloc-cooldown-inlier-floor",
+        type=int,
+        default=0,
+        help="allow KF insertion during the post-reloc cooldown when inliers "
+        "drop below this floor (0 = reference behavior, KNOWN_ISSUES.md)",
+    )
     p.add_argument("--out", default="trajectory_tum.txt")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--init-frame", type=int, default=0)
@@ -114,6 +121,7 @@ def main(argv=None):
         max_features=args.features,
         minIniMatchCount=args.min_ini_matches,
         initializerModelFallback=args.model_fallback,
+        relocCooldownInlierFloor=args.reloc_cooldown_inlier_floor,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet

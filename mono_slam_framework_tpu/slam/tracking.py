@@ -581,7 +581,15 @@ class Tracking:
             self.current_frame.id < self.last_reloc_frame_id + self.max_frames
             and n_kfs > self.max_frames
         ):
-            return False
+            # Reference behavior: no KF insertion for maxFrames after a
+            # relocalization (Tracking.cc:525-527). With a fast camera this
+            # starves the map while inliers decay (KNOWN_ISSUES.md). Opt-in
+            # escape hatch: allow insertion during the cooldown when tracked
+            # inliers fall below relocCooldownInlierFloor (0 = reference
+            # behavior, the default).
+            floor = getattr(self.params, "relocCooldownInlierFloor", 0)
+            if not (floor > 0 and 0 < self.n_matches_inliers < floor):
+                return False
         n_min_obs = 3 if n_kfs > 2 else 2
         n_ref_matches = self.reference_kf.tracked_map_points(n_min_obs)
         th_ref_ratio = 0.9

@@ -44,6 +44,45 @@ class TestRelocalization:
         assert system.tracker.last_reloc_frame_id == system.tracker.current_frame.id
 
 
+class TestRelocCooldownEscape:
+    def test_inlier_floor_lifts_cooldown_gate(self, world):
+        """relocCooldownInlierFloor: the reference blocks KF insertion for
+        maxFrames after a relocalization (Tracking.cc:525-527). With the
+        opt-in floor set, the cooldown guard must defer to the normal
+        c1/c2 decision when inliers are below the floor; with the default 0
+        it must keep the reference behavior (hard False)."""
+        poses = lateral_trajectory(14, step=0.07)
+        system = build_system(world)
+        system.toggle_initialization_allowed()
+        states = run_sequence(system, world, poses)
+        assert TrackingState.OK in states
+        tr = system.tracker
+
+        # craft a mid-cooldown state: reloc just happened, small map grown
+        # past maxFrames so the guard is live
+        tr.last_reloc_frame_id = tr.current_frame.id
+        tr.max_frames = 3
+        while system.map.n_keyframes() <= tr.max_frames:
+            tr.max_frames -= 1
+        assert tr.max_frames >= 0
+
+        # reference behavior: hard block during cooldown (params dataclass is
+        # frozen; poke the knob for the contract check)
+        object.__setattr__(system.params, "relocCooldownInlierFloor", 0)
+        assert tr.need_new_keyframe() is False
+
+        # floor above current inliers: guard lifts, normal decision applies
+        assert tr.n_matches_inliers > 0
+        object.__setattr__(
+            system.params,
+            "relocCooldownInlierFloor",
+            tr.n_matches_inliers + 1000,
+        )
+        lifted = tr.need_new_keyframe()
+        tr.last_reloc_frame_id = -10_000  # no cooldown at all
+        assert lifted == tr.need_new_keyframe()
+
+
 class TestLoopClosing:
     def test_out_and_back_triggers_loop(self, world):
         # out-and-back: revisiting the start must eventually fire DetectLoop
