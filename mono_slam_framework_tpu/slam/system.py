@@ -149,8 +149,17 @@ class System:
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
 
-    def start_gui(self) -> None:
+    def start_gui(
+        self,
+        out_path: str = "/tmp/mono_slam_live.png",
+        interval: float = 1.0,
+        http_port: int | None = None,
+    ) -> None:
+        """Start map drawing + the live viewer thread (System::StartGUI twin;
+        the headless 'window' is a rolling PNG and optional HTTP endpoint —
+        see viz/map_drawer.py)."""
         self.map_drawer.start()
+        self.map_drawer.start_viewer(out_path, interval, http_port)
 
     def stop_gui(self) -> None:
         self.map_drawer.stop()

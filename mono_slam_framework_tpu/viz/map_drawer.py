@@ -1,15 +1,19 @@
-"""Offline map viewer / trajectory-and-cloud recorder.
+"""Map viewer: trajectory-and-cloud recorder with a live viewer thread.
 
 Capability twin of the reference MapDrawer (include/MapDrawer.h,
-src/MapDrawer.cc): the reference runs a PCL GUI thread with a double-buffered
-point cloud and camera pose cone. This environment is headless, so the TPU
-rebuild keeps the same hook points (update / set_pos_dir / start / stop,
-called from Tracking at the same places: Tracking.cc:113, 184-192) and
-records map snapshots that can be dumped to .npz or rendered offline with
-matplotlib.
+src/MapDrawer.cc): the reference runs a PCL GUI thread consuming a
+double-buffered point cloud and camera pose cone (MapDrawer.cc:67-136). The
+TPU rebuild keeps the same hook points (update / set_pos_dir / start / stop,
+called from Tracking at the same places: Tracking.cc:113, 184-192) and the
+same double-buffer-under-mutex structure; the consumer thread renders to a
+rolling PNG and (optionally) serves it over a local HTTP endpoint — the
+headless-environment equivalent of the live PCL window. Snapshots can also
+be dumped to .npz or rendered offline.
 """
 
 from __future__ import annotations
+
+import threading
 
 import numpy as np
 
@@ -23,17 +27,25 @@ class MapDrawer:
         self.cam_pos = np.zeros(3, np.float32)
         self.cam_dir = np.array([0, 0, 1.0], np.float32)
         self.history: list[np.ndarray] = []
+        # live-viewer state (reference: PCL thread + buffer mutex,
+        # MapDrawer.cc:67-136)
+        self._lock = threading.Lock()
+        self._dirty = False
+        self._viewer_thread: threading.Thread | None = None
+        self._http_server = None
+        self._latest_png: bytes | None = None
 
     def start(self) -> None:
         self.running = True
 
     def stop(self) -> None:
         self.running = False
+        self.stop_viewer()
 
     def update(self) -> None:
         """Snapshot the map (reference: double-buffer swap, MapDrawer.cc:30-55)."""
         pts = [mp.world_pos for mp in self.map.all_map_points() if not mp.is_bad]
-        self.points = (
+        points = (
             np.stack(pts).astype(np.float32) if pts else np.zeros((0, 3), np.float32)
         )
         kfs = [
@@ -41,14 +53,92 @@ class MapDrawer:
             for kf in self.map.all_keyframes()
             if not kf.is_bad and kf.Ow is not None
         ]
-        self.kf_centers = (
+        kf_centers = (
             np.stack(kfs).astype(np.float32) if kfs else np.zeros((0, 3), np.float32)
         )
+        with self._lock:
+            self.points = points
+            self.kf_centers = kf_centers
+            self._dirty = True
 
     def set_pos_dir(self, x, y, z, dx, dy, dz) -> None:
-        self.cam_pos = np.array([x, y, z], np.float32)
-        self.cam_dir = np.array([dx, dy, dz], np.float32)
-        self.history.append(self.cam_pos.copy())
+        with self._lock:
+            self.cam_pos = np.array([x, y, z], np.float32)
+            self.cam_dir = np.array([dx, dy, dz], np.float32)
+            self.history.append(self.cam_pos.copy())
+            self._dirty = True
+
+    # ------------------------------------------------------------------
+    # live viewer thread (MapDrawer.cc:67-136 twin for headless setups)
+    def start_viewer(
+        self,
+        out_path: str = "/tmp/mono_slam_live.png",
+        interval: float = 1.0,
+        http_port: int | None = None,
+    ) -> None:
+        """Start the consumer thread: re-render `out_path` whenever the
+        buffers changed, at most every `interval` seconds. With `http_port`,
+        also serve the latest render at http://127.0.0.1:<port>/map.png."""
+        if self._viewer_thread is not None:
+            return
+        self._viewer_stop = threading.Event()
+
+        def loop():
+            while not self._viewer_stop.wait(interval):
+                with self._lock:
+                    dirty = self._dirty
+                    self._dirty = False
+                if dirty:
+                    try:
+                        self.render(out_path)
+                        with open(out_path, "rb") as fh:
+                            self._latest_png = fh.read()
+                    except Exception:  # rendering must never kill tracking
+                        pass
+
+        self._viewer_thread = threading.Thread(
+            target=loop, name="map-viewer", daemon=True
+        )
+        self._viewer_thread.start()
+
+        if http_port is not None:
+            import http.server
+
+            drawer = self
+
+            class Handler(http.server.BaseHTTPRequestHandler):
+                def do_GET(self):  # noqa: N802 (stdlib API)
+                    png = drawer._latest_png
+                    if self.path not in ("/", "/map.png") or png is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.end_headers()
+                    self.wfile.write(png)
+
+                def log_message(self, *a):  # quiet
+                    pass
+
+            self._http_server = http.server.ThreadingHTTPServer(
+                ("127.0.0.1", http_port), Handler
+            )
+            threading.Thread(
+                target=self._http_server.serve_forever,
+                name="map-viewer-http",
+                daemon=True,
+            ).start()
+
+    def stop_viewer(self) -> None:
+        if self._viewer_thread is not None:
+            self._viewer_stop.set()
+            self._viewer_thread.join(timeout=5.0)
+            self._viewer_thread = None
+        if self._http_server is not None:
+            self._http_server.shutdown()
+            self._http_server = None
 
     def save(self, path: str) -> None:
         np.savez(
