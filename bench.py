@@ -92,16 +92,75 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = (N_FRAMES - 1) / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"tracking_fps_per_chip_{MAXF}feat",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 60.0, 3),
-            }
-        )
+
+    e2e = bench_end_to_end()
+    out = {
+        "metric": f"tracking_fps_per_chip_{MAXF}feat",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 3),
+    }
+    out.update(e2e)
+    print(json.dumps(out))
+
+
+def bench_end_to_end():
+    """Full System.track_monocular throughput (host state machine included):
+    synthetic 640x480 plane-world sequence at the reference operating point
+    (System.cc:63-75 per-frame superloop), steady state after initialization.
+
+    Returns extra JSON fields: end-to-end FPS + the System stage breakdown.
+    """
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic_world import PlaneWorld, lateral_trajectory
+
+    from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
+    from mono_slam_framework_tpu.params import SlamParameters
+    from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+    from mono_slam_framework_tpu.slam.kfdb import KeyFrameMatchDatabase
+    from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+    from mono_slam_framework_tpu.slam.system import System
+
+    N_WARM = 12  # init + compile + map bootstrap
+    N_TIMED = 30
+
+    world = PlaneWorld(second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(N_WARM + N_TIMED, step=0.02)
+    images = [world.render(T) for T in poses]  # pre-render: camera not timed
+
+    reset_frame_ids()
+    reset_map_ids()
+    params = SlamParameters(
+        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+        max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
     )
+    matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
+    system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
+    system.toggle_initialization_allowed()
+
+    for i in range(N_WARM):
+        system.track_monocular(images[i], timestamp=i * 0.1)
+
+    if hasattr(system, "timer") and system.timer is not None:
+        system.timer.reset()
+    t0 = time.perf_counter()
+    for i in range(N_WARM, N_WARM + N_TIMED):
+        system.track_monocular(images[i], timestamp=i * 0.1)
+    dt = time.perf_counter() - t0
+
+    stages = {}
+    if hasattr(system, "timer") and system.timer is not None:
+        for name, total in system.timer.totals.items():
+            stages[name] = round(total / N_TIMED * 1000.0, 2)  # ms/frame
+    return {
+        "e2e_fps_2000feat": round(N_TIMED / dt, 2),
+        "e2e_vs_baseline": round(N_TIMED / dt / 60.0, 3),
+        "e2e_stage_ms": stages,
+    }
 
 
 if __name__ == "__main__":

@@ -7,6 +7,9 @@ and the projection math scattered through LocalMapping::CreateNewMapPoints
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -37,6 +40,9 @@ def backproject(uv, K):
     return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "viewing_cos_limit")
+)
 def in_frustum(
     Tcw,
     K,
@@ -48,6 +54,10 @@ def in_frustum(
     viewing_cos_limit=0.5,
 ):
     """Vectorized Frame::isInFrustum (Frame.cc:48-84) over all map points.
+
+    Jitted with static image bounds: callers pad X/normals/max_dist to a
+    power-of-two capacity so per-frame candidate-count churn doesn't
+    recompile (relay-attached TPU compiles cost minutes).
 
     Args:
       Tcw: [4,4] camera pose.

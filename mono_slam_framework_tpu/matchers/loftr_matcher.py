@@ -121,6 +121,10 @@ class LoftrFeatureMatcher(FeatureMatcher):
             f, s = self._features(o)
             stacks.append(f[0])
             scales.append(s)
+        # power-of-two capacity: one compile per capacity, not per DB size
+        n = len(stacks)
+        cap = 1 << (n - 1).bit_length()
+        stacks = stacks + [stacks[0]] * (cap - n)
         f_stack = jnp.stack(stacks)
         vals, idx = loftr_native.match_one_against_many(
             self.params, fq, f_stack, self.max_matches

@@ -117,6 +117,12 @@ class OrbFeatureMatcher(FeatureMatcher):
             return []
         f1 = self.features_for(frame)
         feats = [self.features_for(o) for o in others]
+        # pad the stack to a power-of-two so the vmapped program compiles
+        # once per capacity, not once per keyframe count (relay-attached TPU
+        # compiles cost minutes; local-map/DB sizes change every frame)
+        n = len(feats)
+        cap = 1 << (n - 1).bit_length()
+        feats = feats + [feats[0]] * (cap - n)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
         xy1, xy2, xy1f, xy2f, oc1, oc2, ok = jax.device_get(
             _match_many_jit(f1, stacked, self.threshold)

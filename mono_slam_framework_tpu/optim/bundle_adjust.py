@@ -62,12 +62,16 @@ def build_problem(
     pad_pairs: int | None = None,
     e_info: np.ndarray | None = None,
     with_pairs: bool = True,
+    pad_cams: int | None = None,
+    pad_points: int | None = None,
 ) -> BAProblem:
     """Host-side problem assembly, including the edge-pair list.
 
-    Pads edges/pairs to the requested static capacities (next power of two by
-    default) so repeated solves of similarly-sized windows reuse the compiled
-    program.
+    Pads edges/pairs — and optionally cameras/points (`pad_cams` /
+    `pad_points`: identity fixed cameras and origin landmarks with no
+    edges) — to static capacities so repeated solves of similarly-sized
+    windows reuse the compiled program instead of recompiling per window
+    size (minutes each on a relay-attached TPU).
 
     `with_pairs=False` skips the O(sum deg^2) edge-pair list — required only
     by the dense Schur path; the matrix-free CG path
@@ -110,6 +114,20 @@ def build_problem(
         out = np.full((n,) + a.shape[1:], fill, a.dtype)
         out[: a.shape[0]] = a
         return out
+
+    cam_T = np.asarray(cam_T, np.float32)
+    cam_fixed = np.asarray(cam_fixed, bool)
+    points = np.asarray(points, np.float32)
+    if pad_cams is not None and pad_cams > cam_T.shape[0]:
+        extra = pad_cams - cam_T.shape[0]
+        cam_T = np.concatenate(
+            [cam_T, np.broadcast_to(np.eye(4, dtype=np.float32), (extra, 4, 4))]
+        )
+        cam_fixed = np.concatenate([cam_fixed, np.ones(extra, bool)])
+    if pad_points is not None and pad_points > points.shape[0]:
+        points = np.concatenate(
+            [points, np.zeros((pad_points - points.shape[0], 3), np.float32)]
+        )
 
     return BAProblem(
         cam_T=jnp.asarray(cam_T, jnp.float32),

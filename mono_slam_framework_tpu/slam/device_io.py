@@ -13,6 +13,7 @@ sizes hit the jit cache instead of recompiling.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -62,16 +63,18 @@ def optimize_frame_pose(frame) -> int:
         uv[i] = frame.keypoint_map.measurement_at(idx)
         info[i] = item.info
         valid[i] = True
-    T_opt, inlier, n_good = pose_optimize(
-        jnp.asarray(frame.Tcw),
-        jnp.asarray(Xw),
-        jnp.asarray(uv),
-        jnp.asarray(valid),
-        jnp.asarray(frame.K),
-        jnp.asarray(info),
+    # one transfer for all outputs (each separate readback is a relay RTT)
+    T_opt, inlier, n_good = jax.device_get(
+        pose_optimize(
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(Xw),
+            jnp.asarray(uv),
+            jnp.asarray(valid),
+            jnp.asarray(frame.K),
+            jnp.asarray(info),
+        )
     )
-    frame.set_pose(np.asarray(T_opt))
-    inlier = np.asarray(inlier)
+    frame.set_pose(T_opt)
     for i, (idx, item) in enumerate(entries):
         item.outlier = not bool(inlier[i])
     return int(n_good)
@@ -151,6 +154,10 @@ def run_local_ba(current_kf, map_) -> None:
         pad_edges=_pow2(len(e_cam)),
         pad_pairs=None,
         e_info=np.asarray(e_info, np.float32),
+        # pow2 camera/point capacities: one compile per capacity bucket, not
+        # one per local-window size (minutes each through the TPU relay)
+        pad_cams=_pow2(len(cams), floor=8),
+        pad_points=_pow2(len(local_mps), floor=128),
     )
     T_out, X_out, bad, _ = local_bundle_adjust(p)
     T_out = np.asarray(T_out)
@@ -221,6 +228,8 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
         pad_edges=_pow2(len(e_cam)),
         e_info=np.asarray(e_info, np.float32),
         with_pairs=use_dense,
+        pad_cams=_pow2(len(kfs), floor=8),
+        pad_points=_pow2(len(used_mps), floor=128),
     )
     if use_dense:
         T_out, X_out, _ = bundle_adjust(p, n_iters=n_iters, robust=robust)

@@ -12,8 +12,9 @@ LocalMapping.cc:195-281); local BA is the Schur LM program (optim/).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mono_slam_framework_tpu.geometry import triangulation
 from mono_slam_framework_tpu.slam.device_io import run_local_ba
@@ -113,7 +114,6 @@ class LocalMapping:
         neighbors = self.current_kf.get_best_covisibles(20)
         kf1 = self.current_kf
         Rcw1 = kf1.get_rotation()
-        Rwc1 = Rcw1.T
         tcw1 = kf1.get_translation()
         Tcw1 = np.hstack([Rcw1, tcw1[:, None]])
         Ow1 = kf1.get_camera_center()
@@ -136,61 +136,38 @@ class LocalMapping:
             if n == 0:
                 continue
             Rcw2 = kf2.get_rotation()
-            Rwc2 = Rcw2.T
             tcw2 = kf2.get_translation()
             Tcw2 = np.hstack([Rcw2, tcw2[:, None]])
 
-            uv1 = res.kp1_f
-            uv2 = res.kp2_f
-            # parallax gate on backprojected rays (LocalMapping.cc:199-211)
-            cosp = np.asarray(
-                triangulation.rays_cos_parallax(
-                    jnp.asarray(uv1), jnp.asarray(uv2),
-                    jnp.asarray(K), jnp.asarray(kf2.K),
-                    jnp.asarray(Rwc1), jnp.asarray(Rwc2),
+            # parallax gate + normalized-coordinate DLT + cheirality/chi2
+            # gates, all in ONE fixed-capacity jitted program
+            # (LocalMapping.cc:199-264; see triangulation.triangulate_gated
+            # for why the capacity padding matters)
+            cap = max(64, 1 << (n - 1).bit_length())
+            uv1 = np.zeros((cap, 2), np.float32)
+            uv2 = np.zeros((cap, 2), np.float32)
+            uv1[:n] = res.kp1_f
+            uv2[:n] = res.kp2_f
+            vmask = np.zeros(cap, bool)
+            vmask[:n] = True
+            Tcw1f = np.eye(4, dtype=np.float32)
+            Tcw1f[:3] = Tcw1
+            Tcw2f = np.eye(4, dtype=np.float32)
+            Tcw2f[:3] = Tcw2
+            X, ok = jax.device_get(
+                triangulation.triangulate_gated(
+                    jnp.asarray(uv1),
+                    jnp.asarray(uv2),
+                    jnp.asarray(vmask),
+                    jnp.asarray(K, jnp.float32),
+                    jnp.asarray(kf2.K, jnp.float32),
+                    jnp.asarray(Tcw1f),
+                    jnp.asarray(Tcw2f),
+                    jnp.float32(self.min_parallax),
                 )
             )
-            gate = (cosp > 0) & (cosp < self.min_parallax)
-            # batched DLT in NORMALIZED camera coords (the reference builds A
-            # from xn and Tcw rows, LocalMapping.cc:213-227)
-            fx1, fy1, cx1, cy1 = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-            fx2, fy2, cx2, cy2 = kf2.K[0, 0], kf2.K[1, 1], kf2.K[0, 2], kf2.K[1, 2]
-            xn1 = np.stack(
-                [(uv1[:, 0] - cx1) / fx1, (uv1[:, 1] - cy1) / fy1], -1
-            )
-            xn2 = np.stack(
-                [(uv2[:, 0] - cx2) / fx2, (uv2[:, 1] - cy2) / fy2], -1
-            )
-            X, w_h = triangulation.triangulate_dlt(
-                jnp.asarray(xn1), jnp.asarray(xn2),
-                jnp.asarray(Tcw1, jnp.float32), jnp.asarray(Tcw2, jnp.float32),
-            )
-            X = np.asarray(X)
-            w_h = np.asarray(w_h)
-
-            # cheirality + reprojection gates (LocalMapping.cc:233-264)
-            z1 = X @ Rcw1[2] + tcw1[2]
-            z2 = X @ Rcw2[2] + tcw2[2]
-            x1p = X @ Rcw1[0] + tcw1[0]
-            y1p = X @ Rcw1[1] + tcw1[1]
-            x2p = X @ Rcw2[0] + tcw2[0]
-            y2p = X @ Rcw2[1] + tcw2[1]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                e1 = (fx1 * x1p / z1 + cx1 - uv1[:, 0]) ** 2 + (
-                    fy1 * y1p / z1 + cy1 - uv1[:, 1]
-                ) ** 2
-                e2 = (fx2 * x2p / z2 + cx2 - uv2[:, 0]) ** 2 + (
-                    fy2 * y2p / z2 + cy2 - uv2[:, 1]
-                ) ** 2
-            ok = (
-                gate
-                & (w_h != 0)
-                & (z1 > 0)
-                & (z2 > 0)
-                & (e1 <= 5.991)
-                & (e2 <= 5.991)
-                & np.isfinite(X).all(axis=1)
-            )
+            X, ok = X[:n], ok[:n]
+            uv1, uv2 = uv1[:n], uv2[:n]
 
             if self.octave_information:
                 inf1, inf2 = res.info1, res.info2

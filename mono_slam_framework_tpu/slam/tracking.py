@@ -535,21 +535,28 @@ class Tracking:
 
         n_to_match = np.zeros(len(self.local_keyframes), np.int64)
         if cand_mps:
-            pos = np.stack([mp.world_pos for mp in cand_mps])
-            normals = np.stack([mp.normal for mp in cand_mps])
-            dists = np.array([mp.distance_invariance() for mp in cand_mps], np.float32)
+            # pad to a power-of-two capacity: per-frame candidate-count churn
+            # would otherwise recompile the jitted frustum check every frame
+            n = len(cand_mps)
+            cap = max(64, 1 << (n - 1).bit_length())
+            pos = np.zeros((cap, 3), np.float32)
+            normals = np.zeros((cap, 3), np.float32)
+            dists = np.zeros(cap, np.float32)
+            pos[:n] = np.stack([mp.world_pos for mp in cand_mps])
+            normals[:n] = np.stack([mp.normal for mp in cand_mps])
+            dists[:n] = [mp.distance_invariance() for mp in cand_mps]
             vis = np.asarray(
                 projection.in_frustum(
                     jnp.asarray(self.current_frame.Tcw),
                     jnp.asarray(self.K),
-                    jnp.asarray(pos, jnp.float32),
-                    jnp.asarray(normals, jnp.float32),
+                    jnp.asarray(pos),
+                    jnp.asarray(normals),
                     jnp.asarray(dists),
                     self.img_width,
                     self.img_height,
                     viewing_cos_limit=0.5,
                 )
-            )
+            )[:n]
             for mp, slot, v in zip(cand_mps, cand_kf_slot, vis):
                 if v:
                     mp.increase_visible()
