@@ -73,6 +73,55 @@ def run_one(matcher_name: str, args) -> dict:
     return result
 
 
+def run_sharded_loftr(args) -> dict:
+    """Mesh-sharded LoFTR pairwise sweep over the sequence (BASELINE.json
+    configs[4] multi-chip form): encode every frame once (cacheable backbone),
+    then match all consecutive pairs data-parallel over the device mesh
+    (parallel/sweep.py::sharded_loftr_sweep). Reports per-pair match counts
+    and device throughput rather than full tracking (the tracking A/B is the
+    per-matcher run_one path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mono_slam_framework_tpu.io.datasets import LOADERS
+    from mono_slam_framework_tpu.matchers.loftr_matcher import MODEL_H, MODEL_W
+    from mono_slam_framework_tpu.models import loftr_native
+    from mono_slam_framework_tpu.parallel import make_mesh, sharded_loftr_sweep
+
+    params = loftr_native.load_params(args.loftr_model)
+    images = []
+    for frame in LOADERS[args.dataset](args.path):
+        images.append(np.asarray(frame.image, np.float32))
+        if args.max_frames and len(images) >= args.max_frames:
+            break
+
+    t0 = time.perf_counter()
+    feats = []
+    for img in images:
+        dev = jnp.asarray(img)
+        if dev.shape != (MODEL_H, MODEL_W):
+            dev = jax.image.resize(dev, (MODEL_H, MODEL_W), "bilinear")
+        feats.append(loftr_native.encode(params, (dev / 255.0)[None, None])[0])
+    mesh = make_mesh()
+    n_pairs = len(feats) - 1
+    ndev = mesh.devices.size
+    cap = ((n_pairs + ndev - 1) // ndev) * ndev  # pad batch to mesh multiple
+    f1 = jnp.stack([feats[min(i, n_pairs - 1)] for i in range(cap)])
+    f2 = jnp.stack([feats[min(i + 1, n_pairs)] for i in range(cap)])
+    vals, _ = sharded_loftr_sweep(mesh, f1, f2, max_matches=256)
+    counts = np.asarray((vals > args.loftr_threshold).sum(axis=1))[:n_pairs]
+    wall = time.perf_counter() - t0
+    return {
+        "matcher": "loftr-sharded",
+        "devices": int(ndev),
+        "pairs": int(n_pairs),
+        "pairs_per_s": round(n_pairs / wall, 2),
+        "mean_matches": round(float(counts.mean()), 1),
+        "min_matches": int(counts.min()),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", choices=["tum", "kitti", "euroc"], required=True)
@@ -93,6 +142,12 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--out-prefix", default="ab_traj")
     p.add_argument("--ate", action="store_true")
+    p.add_argument(
+        "--sharded-loftr",
+        action="store_true",
+        help="also run the mesh-sharded LoFTR pairwise sweep "
+        "(parallel/sweep.py; BASELINE.json configs[4] multi-chip form)",
+    )
     args = p.parse_args(argv)
 
     if None in (args.fx, args.fy, args.cx, args.cy):
@@ -108,6 +163,8 @@ def main(argv=None):
         args.cy = args.cy if args.cy is not None else cy
 
     results = [run_one(m.strip(), args) for m in args.matchers.split(",") if m.strip()]
+    if args.sharded_loftr:
+        results.append(run_sharded_loftr(args))
     print(json.dumps({"sweep": results}, indent=2))
     return results
 

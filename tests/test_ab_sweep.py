@@ -35,3 +35,28 @@ class TestABSweep:
         # valid printed JSON
         out = json.loads(capsys.readouterr().out)
         assert out["sweep"][0]["frames"] == 24
+
+    def test_sharded_loftr_sweep_entry(self, mini_tum, tmp_path, capsys):  # noqa: F811
+        """Mesh-sharded LoFTR pairwise sweep over the 8-device CPU mesh."""
+        from mono_slam_framework_tpu import ab_sweep
+
+        root, world = mini_tum
+        results = ab_sweep.main(
+            [
+                "--dataset", "tum",
+                "--path", str(root),
+                "--matchers", "",
+                "--sharded-loftr",
+                "--max-frames", "9",
+                "--fx", str(world.f), "--fy", str(world.f),
+                "--cx", str(world.cx), "--cy", str(world.cy),
+                "--out-prefix", str(tmp_path / "ab"),
+            ]
+        )
+        assert len(results) == 1
+        r = results[0]
+        assert r["matcher"] == "loftr-sharded"
+        assert r["devices"] == 8
+        assert r["pairs"] == 8
+        # consecutive frames of the same world must match
+        assert r["mean_matches"] > 5
