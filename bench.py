@@ -104,12 +104,10 @@ def main():
     print(json.dumps(out))
 
 
-def bench_end_to_end():
+def _bench_system(fused: bool):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
     (System.cc:63-75 per-frame superloop), steady state after initialization.
-
-    Returns extra JSON fields: end-to-end FPS + the System stage breakdown.
     """
     import os
     import sys
@@ -137,6 +135,7 @@ def bench_end_to_end():
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
         max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
+        fusedTracking=fused,
     )
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
@@ -156,10 +155,21 @@ def bench_end_to_end():
     if hasattr(system, "timer") and system.timer is not None:
         for name, total in system.timer.totals.items():
             stages[name] = round(total / N_TIMED * 1000.0, 2)  # ms/frame
+    return round(N_TIMED / dt, 2), stages
+
+
+def bench_end_to_end():
+    """Extra JSON fields: end-to-end FPS for the reference-twin path and the
+    fused steady-state path (slam/fused_tracking.py), with stage breakdowns."""
+    fps_ref, stages_ref = _bench_system(fused=False)
+    fps_fused, stages_fused = _bench_system(fused=True)
     return {
-        "e2e_fps_2000feat": round(N_TIMED / dt, 2),
-        "e2e_vs_baseline": round(N_TIMED / dt / 60.0, 3),
-        "e2e_stage_ms": stages,
+        "e2e_fps_2000feat": fps_ref,
+        "e2e_vs_baseline": round(fps_ref / 60.0, 3),
+        "e2e_stage_ms": stages_ref,
+        "e2e_fused_fps_2000feat": fps_fused,
+        "e2e_fused_vs_baseline": round(fps_fused / 60.0, 3),
+        "e2e_fused_stage_ms": stages_fused,
     }
 
 

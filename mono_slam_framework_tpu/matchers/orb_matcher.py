@@ -86,6 +86,18 @@ class OrbFeatureMatcher(FeatureMatcher):
             self._cache.move_to_end(fid)
         return feats
 
+    def seed_cache(self, frame, feats: orb.Features) -> None:
+        """Insert externally-extracted features (e.g. from the fused tracking
+        step, which runs extraction inside its device program) so later
+        stages reuse them without re-extracting."""
+        fid = getattr(frame, "matcher_key", None)
+        if fid is None:
+            fid = id(frame)
+        self._cache[fid] = feats
+        self._cache.move_to_end(fid)
+        if len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
+
     def drop_frame_cache(self, frame_id=None) -> None:
         if frame_id is None:
             self._cache.clear()

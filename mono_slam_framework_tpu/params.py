@@ -43,6 +43,15 @@ class SlamParameters:
     # SlamParameters.h:34).
     minimumParallax: float = 1.1
 
+    # Fused steady-state tracking: run the per-frame OK-path (extract +
+    # match + associate + pose LM, then frustum + local-KF match + pose LM)
+    # as two fixed-shape device programs with one readback each instead of
+    # ~10 round trips (slam/fused_tracking.py). Semantics are replayed
+    # reference-identically; falls back to the unfused path whenever its
+    # preconditions fail. Off by default (the unfused path is the
+    # reference twin).
+    fusedTracking: bool = False
+
     # Opt-in escape from the post-relocalization KF-insertion cooldown
     # (Tracking.cc:525-527 blocks insertion for maxFrames after reloc; with a
     # fast camera the map starves while inliers decay — KNOWN_ISSUES.md).

@@ -74,6 +74,12 @@ def main(argv=None):
         help="gamma LUT applied before tracking (reference main.cpp:21-39)",
     )
     p.add_argument(
+        "--fused",
+        action="store_true",
+        help="fused steady-state tracking: the per-frame OK-path as two "
+        "fixed-shape device programs (slam/fused_tracking.py)",
+    )
+    p.add_argument(
         "--reloc-cooldown-inlier-floor",
         type=int,
         default=0,
@@ -122,6 +128,7 @@ def main(argv=None):
         minIniMatchCount=args.min_ini_matches,
         initializerModelFallback=args.model_fallback,
         relocCooldownInlierFloor=args.reloc_cooldown_inlier_floor,
+        fusedTracking=args.fused,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet

@@ -1,0 +1,206 @@
+"""Fused steady-state tracking: the per-frame hot path as TWO device programs.
+
+The reference's per-frame superloop (System.cc:63-75 -> Tracking.cc:102-217)
+is a chain of small stages. Run naively against a remote TPU, each stage is a
+separate dispatch + readback, and the relay round-trip (~27 ms each, ~10 per
+frame) dominates wall time. This module fuses the steady-state OK-path into
+two fixed-shape jitted programs with ONE readback each:
+
+  * `motion_step`  — ORB extraction on the new image + Hamming match against
+    the last frame + exact-pixel association against the last frame's
+    keypoint map + motion-only pose LM
+    (TrackWithMotionModel, Tracking.cc:434-485, minus host bookkeeping);
+  * `local_step`   — frustum visibility over the local-map candidates +
+    batched matching against every ACTIVE local keyframe + first-wins
+    association + pose LM over the union
+    (TrackLocalMap/SearchLocalPoints, Tracking.cc:487-633).
+
+Host bookkeeping (KeyPointMap writes, MapPoint counters, state decisions,
+keyframe creation) replays the returned association tables, preserving the
+reference semantics: per-pixel last-writer-wins for motion associations
+(KeyPointMap::SetMapPoint overwrite), first-wins + existing-blocks for
+local-map associations (the `mp1 is None` check at Tracking.cc:620-631),
+outlier purge between the two optimizations, and the inactive-keyframe skip
+(targets need a frustum-visible candidate, Tracking.cc:600-609).
+
+Map state rides each call as small padded uploads (positions/normals of the
+referenced map points only) — uploads overlap the dispatch, so the per-frame
+cost is two round trips instead of ten. Enabled by
+`SlamParameters.fusedTracking`; the unfused path remains the reference twin
+and the fused path is pinned against it by tests/test_fused.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mono_slam_framework_tpu.ops import hamming, orb
+from mono_slam_framework_tpu.optim.pose_opt import pose_optimize
+
+NONE = jnp.int32(-1)
+
+
+def _pow2(n: int, floor: int = 64) -> int:
+    n = max(int(n), floor)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
+def motion_step(
+    img,
+    prev_feats: orb.Features,
+    prev_px,  # i32 [M] pixel index (y*cols+x) of last-frame associations
+    prev_row,  # i32 [M] row into mp_pos (-1 = padding)
+    mp_pos,  # f32 [P,3]
+    T_init,
+    K,
+    ratio,
+    cols: jnp.int32,
+    use_octave_info,
+    max_features: int,
+    fast_threshold: float,
+):
+    """Extract + match-vs-last + associate + pose LM, one program.
+
+    Returns (cur_feats, T1, assoc_row [K], keep [K], inlier [K], n_good,
+    n_matches, idx2 [K], ok [K]) — assoc_row is the mp row per current
+    feature slot after exact-pixel lookup and per-pixel last-writer dedup.
+    """
+    cur = orb.extract(img, max_features, fast_threshold)
+    d = hamming.distance_matrix(cur.desc, prev_feats.desc, cur.valid, prev_feats.valid)
+    idx2, ok = hamming.knn2_ratio_match(d, ratio)
+    ok = ok & cur.valid
+
+    # exact-pixel association through the LAST frame's keypoint map
+    # (featurematcher int truncation + KeyPointMap index = y*cols+x, B1)
+    prev_xy = prev_feats.xy[idx2].astype(jnp.int32)
+    prev_idx = prev_xy[:, 1] * cols + prev_xy[:, 0]
+    eq = (prev_idx[:, None] == prev_px[None, :]) & (prev_row[None, :] >= 0)  # [K,M]
+    hit = eq.any(axis=1)
+    row = jnp.where(ok & hit, prev_row[jnp.argmax(eq, axis=1)], NONE)
+
+    # per-CURRENT-pixel dedup, last writer wins (SetMapPoint overwrite while
+    # the host loop walks matches in order, Tracking.cc:389-399)
+    cur_xy = cur.xy.astype(jnp.int32)
+    cur_idx = cur_xy[:, 1] * cols + cur_xy[:, 0]
+    k = cur_idx.shape[0]
+    ar = jnp.arange(k)
+    later_same = (
+        (cur_idx[None, :] == cur_idx[:, None])
+        & (row[None, :] >= 0)
+        & (ar[None, :] > ar[:, None])
+    )
+    keep = (row >= 0) & ~later_same.any(axis=1)
+
+    Xw = mp_pos[jnp.clip(row, 0)]
+    info = jnp.where(
+        use_octave_info, 1.2 ** (-2.0 * cur.octave.astype(jnp.float32)), 1.0
+    )
+    T1, inlier, n_good = pose_optimize(T_init, Xw, cur.xy, keep, K, info)
+    return cur, T1, row, keep, inlier, n_good, jnp.sum(ok.astype(jnp.int32)), idx2, ok
+
+
+@jax.jit
+def local_step(
+    cur_feats: orb.Features,
+    cur_row,  # i32 [K] mp row per slot from the motion step (inliers only)
+    T1,
+    kf_feats: orb.Features,  # stacked [N, ...]
+    kf_px,  # i32 [N,M] pixel index of each keyframe's associations
+    kf_row,  # i32 [N,M] mp row (-1 = padding)
+    cand_pos,  # f32 [C,3] candidate map points (not yet seen this frame)
+    cand_normal,  # f32 [C,3]
+    cand_maxdist,  # f32 [C]
+    cand_slot,  # i32 [C] which keyframe stack slot proposed the candidate
+    mp_pos,  # f32 [P,3]
+    T_for_frustum,
+    K,
+    ratio,
+    cols: jnp.int32,
+    width: jnp.float32,
+    height: jnp.float32,
+    use_octave_info=True,
+):
+    """Frustum + batched local-KF matching + association + pose LM.
+
+    Returns (T2, new_row [K], inlier [K], n_inliers, vis [C], kf_active [N]).
+    new_row is the mp row newly associated per current slot (-1 none);
+    inlier flags cover the union of old + new associations per slot.
+    """
+    # vectorized Frame::isInFrustum over the candidate set (Frame.cc:48-84)
+    R = T_for_frustum[:3, :3]
+    t = T_for_frustum[:3, 3]
+    Xc = cand_pos @ R.T + t
+    z_ok = Xc[:, 2] >= 0.0
+    zs = jnp.where(Xc[:, 2] == 0, 1.0, Xc[:, 2])
+    u = K[0, 0] * Xc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * Xc[:, 1] / zs + K[1, 2]
+    in_img = (u >= 0.0) & (u <= width) & (v >= 0.0) & (v <= height)
+    Ow = -R.T @ t
+    PO = cand_pos - Ow
+    dist = jnp.linalg.norm(PO, axis=-1)
+    safe = jnp.where(dist == 0, 1.0, dist)
+    cos_ok = jnp.sum(PO * cand_normal, axis=-1) / safe >= 0.5
+    real = cand_slot >= 0
+    vis = z_ok & in_img & (dist <= cand_maxdist) & cos_ok & real
+
+    # a keyframe is matched only if it proposed a visible candidate
+    # (n_to_match > 0 gate, Tracking.cc:600-609 / tracking.py targets)
+    n_kf = kf_px.shape[0]
+    kf_active = jax.ops.segment_max(
+        vis.astype(jnp.int32), jnp.clip(cand_slot, 0), n_kf
+    ) > 0
+
+    # batched match current frame vs every local keyframe
+    def match_one(f2, px2, row2):
+        d = hamming.distance_matrix(
+            cur_feats.desc, f2.desc, cur_feats.valid, f2.valid
+        )
+        idx2, ok = hamming.knn2_ratio_match(d, ratio)
+        ok = ok & cur_feats.valid
+        kf_xy = f2.xy[idx2].astype(jnp.int32)
+        kf_idx = kf_xy[:, 1] * cols + kf_xy[:, 0]
+        eq = (kf_idx[:, None] == px2[None, :]) & (row2[None, :] >= 0)
+        hit = eq.any(axis=1)
+        return jnp.where(ok & hit, row2[jnp.argmax(eq, axis=1)], NONE)
+
+    rows_nk = jax.vmap(match_one)(kf_feats, kf_px, kf_row)  # [N,K]
+    rows_nk = jnp.where(kf_active[:, None], rows_nk, NONE)
+
+    # merge: existing association blocks (the mp1-is-None check at
+    # Tracking.cc:620-631); among new proposals the host walks results in
+    # (keyframe, row) order and the first SetMapPoint wins the pixel
+    first_kf = jnp.argmax(rows_nk >= 0, axis=0)  # [K]
+    any_new = (rows_nk >= 0).any(axis=0)
+    proposed = rows_nk[first_kf, jnp.arange(rows_nk.shape[1])]
+    # the same current PIXEL may already be associated via another slot
+    cur_xy = cur_feats.xy.astype(jnp.int32)
+    cur_idx = cur_xy[:, 1] * cols + cur_xy[:, 0]
+    k = cur_idx.shape[0]
+    ar = jnp.arange(k)
+    pixel_taken = (
+        (cur_idx[None, :] == cur_idx[:, None]) & (cur_row[None, :] >= 0)
+    ).any(axis=1)
+    new_row = jnp.where(any_new & (cur_row < 0) & ~pixel_taken, proposed, NONE)
+    # first-wins among new rows sharing a pixel, in the host's (kf, row)
+    # processing order
+    order = first_kf.astype(jnp.int32) * (k + 1) + ar
+    earlier_new = (
+        (cur_idx[None, :] == cur_idx[:, None])
+        & (new_row[None, :] >= 0)
+        & (order[None, :] < order[:, None])
+    )
+    new_row = jnp.where(earlier_new.any(axis=1), NONE, new_row)
+
+    union_row = jnp.where(cur_row >= 0, cur_row, new_row)
+    valid = union_row >= 0
+    Xw = mp_pos[jnp.clip(union_row, 0)]
+    info = jnp.where(
+        use_octave_info, 1.2 ** (-2.0 * cur_feats.octave.astype(jnp.float32)), 1.0
+    )
+    T2, inlier, n_good = pose_optimize(T1, Xw, cur_feats.xy, valid, K, info)
+    return T2, new_row, inlier, n_good, vis, kf_active

@@ -23,6 +23,7 @@ import numpy as np
 from mono_slam_framework_tpu.estimation import Initializer
 from mono_slam_framework_tpu.estimation.epnp import solve_pnp_ransac
 from mono_slam_framework_tpu.geometry import projection
+from mono_slam_framework_tpu.slam import fused_host
 from mono_slam_framework_tpu.slam.device_io import optimize_frame_pose, run_global_ba
 from mono_slam_framework_tpu.slam.frame import Frame
 from mono_slam_framework_tpu.slam.map_model import MapPoint
@@ -162,6 +163,7 @@ class Tracking:
                 return
         else:
             ok = False
+            fused_done = False
             if self.state == TrackingState.OK:
                 self.check_replaced_in_last_frame()
                 if (
@@ -170,15 +172,26 @@ class Tracking:
                 ):
                     ok = self.track_reference_keyframe()
                 else:
-                    ok = self.track_with_motion_model()
-                    if not ok:
-                        ok = self.track_reference_keyframe()
+                    # fused fast path: motion-model + local-map tracking as
+                    # two fixed-shape device programs (slam/fused_tracking.py)
+                    # with reference-identical replayed semantics; None means
+                    # its preconditions failed -> unfused reference flow
+                    fused = None
+                    if fused_host.applicable(self):
+                        fused = fused_host.run(self)
+                    if fused is not None:
+                        ok = fused
+                        fused_done = True
+                    else:
+                        ok = self.track_with_motion_model()
+                        if not ok:
+                            ok = self.track_reference_keyframe()
             else:
                 ok = self.relocalization()
 
             self.current_frame.reference_kf = self.reference_kf
 
-            if ok:
+            if ok and not fused_done:
                 ok = self.track_local_map()
             if ok:
                 self.state = TrackingState.OK

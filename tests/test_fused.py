@@ -1,0 +1,84 @@
+"""Fused steady-state tracking vs the reference-twin unfused path.
+
+The fused path (slam/fused_tracking.py + fused_host.py) must reproduce the
+unfused flow's behavior on the synthetic world: same state sequence, same
+keyframe growth, and a trajectory within float-accumulation distance (edge
+summation order differs between the per-slot device arrays and the host
+dict-ordered edges, so poses match to ~1e-3, not bitwise).
+"""
+
+import numpy as np
+import pytest
+
+from mono_slam_framework_tpu.io import trajectory
+from mono_slam_framework_tpu.matchers import OrbFeatureMatcher
+from mono_slam_framework_tpu.params import SlamParameters
+from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
+from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+from mono_slam_framework_tpu.slam.tracking import TrackingState
+
+from synthetic_world import PlaneWorld, lateral_trajectory
+
+
+def _run(world, poses, fused: bool):
+    reset_frame_ids()
+    reset_map_ids()
+    params = SlamParameters(
+        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+        max_features=400, minIniMatchCount=100,
+        initializerModelFallback=True, fusedTracking=fused,
+    )
+    matcher = OrbFeatureMatcher(threshold=0.7, max_features=400)
+    system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
+    system.toggle_initialization_allowed()
+    states = []
+    for i, T in enumerate(poses):
+        system.track_monocular(world.render(T), timestamp=i * 0.1)
+        states.append(system.tracker.state)
+    return system, states
+
+
+class TestFusedTracking:
+    @pytest.fixture(scope="class")
+    def runs(self):
+        world = PlaneWorld(second_plane=(3.0, 0.3))
+        poses = lateral_trajectory(20, step=0.07)
+        sys_ref, st_ref = _run(world, poses, fused=False)
+        sys_fused, st_fused = _run(world, poses, fused=True)
+        return world, poses, sys_ref, st_ref, sys_fused, st_fused
+
+    def test_fused_path_was_exercised(self, runs):
+        *_, sys_fused, st_fused = runs
+        # steady-state frames ran and stayed OK
+        assert st_fused[-1] == TrackingState.OK
+        assert sum(s == TrackingState.OK for s in st_fused) >= 10
+
+    def test_states_match(self, runs):
+        _, _, _, st_ref, _, st_fused = runs
+        assert [s.name for s in st_fused] == [s.name for s in st_ref]
+
+    def test_map_growth_matches(self, runs):
+        _, _, sys_ref, _, sys_fused, _ = runs
+        assert abs(sys_fused.map.n_keyframes() - sys_ref.map.n_keyframes()) <= 1
+        ref_mp = sys_ref.map.n_map_points()
+        assert abs(sys_fused.map.n_map_points() - ref_mp) <= 0.2 * ref_mp
+
+    def test_trajectories_agree(self, runs, tmp_path):
+        world, poses, sys_ref, _, sys_fused, _ = runs
+        fa, fb = str(tmp_path / "ref.txt"), str(tmp_path / "fused.txt")
+        sys_ref.save_trajectory_tum(fa)
+        sys_fused.save_trajectory_tum(fb)
+        t_r, p_r, _ = trajectory.read_tum(fa)
+        t_f, p_f, _ = trajectory.read_tum(fb)
+        gt_t = np.array([i * 0.1 for i in range(len(poses))])
+        gt_p = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in poses])
+        ate_r, _ = trajectory.ate_rmse(t_r, p_r, gt_t, gt_p)
+        ate_f, _ = trajectory.ate_rmse(t_f, p_f, gt_t, gt_p)
+        # both accurate, and fused within float-accumulation distance of ref
+        assert ate_r < 0.15 and ate_f < 0.15, (ate_r, ate_f)
+        assert abs(ate_f - ate_r) < 0.05, (ate_r, ate_f)
+        # frame-by-frame agreement of the two trajectories
+        ate_pair, n = trajectory.ate_rmse(t_f, p_f, t_r, p_r)
+        assert n >= 10
+        assert ate_pair < 0.03, ate_pair
