@@ -254,6 +254,11 @@ def solve_pnp_ransac(
         # reference hardcodes the epsilon^3 exponent (PnPsolver.cc:159)
         n_iter = int(np.ceil(np.log(1 - probability) / np.log(1 - eps**3)))
     n_iter = max(1, min(n_iter, max_iterations))
+    # pow2 bucket: `iterations` is a static jit arg, so every distinct
+    # adaptive count would compile a new program (minutes on a
+    # relay-attached TPU). Rounding UP only strengthens the RANSAC
+    # success-probability guarantee (PnPsolver.cc:159 computes a minimum).
+    n_iter = 1 << (n_iter - 1).bit_length()
     if N < n_min_inliers:
         return False, None, np.zeros(N, bool)
 

@@ -254,12 +254,20 @@ class Initializer:
         min_parallax: float = 1.1,
         valid: np.ndarray | None = None,
     ) -> InitResult:
-        xy1 = jnp.asarray(xy1, jnp.float32)
-        xy2 = jnp.asarray(xy2, jnp.float32)
-        if valid is None:
-            valid_j = jnp.ones(xy1.shape[0], bool)
-        else:
-            valid_j = jnp.asarray(valid, bool)
+        # pow2 capacity: every init attempt has a different match count, and
+        # a distinct shape would recompile the whole RANSAC+reconstruction
+        # stack per attempt (minutes each on a relay-attached TPU)
+        n = int(np.asarray(xy1).shape[0])
+        cap = max(64, 1 << (n - 1).bit_length()) if n else 64
+        xy1p = np.zeros((cap, 2), np.float32)
+        xy2p = np.zeros((cap, 2), np.float32)
+        validp = np.zeros(cap, bool)
+        xy1p[:n] = xy1
+        xy2p[:n] = xy2
+        validp[:n] = True if valid is None else np.asarray(valid, bool)
+        xy1 = jnp.asarray(xy1p)
+        xy2 = jnp.asarray(xy2p)
+        valid_j = jnp.asarray(validp)
 
         H, sh, inl_h, F, sf, inl_f = ransac_h_f(
             xy1, xy2, valid_j, key, self.sigma, self.iterations
@@ -293,12 +301,14 @@ class Initializer:
             if bool(ok2):
                 ok, R, t, X, good = ok2, R2, t2, X2, good2
                 used_h = not used_h
+        # slice per-point outputs back to the caller's length (the pow2
+        # padding above is an internal capacity, not part of the contract)
         return InitResult(
             success=bool(ok),
             R21=np.asarray(R),
             t21=np.asarray(t),
-            points3d=np.asarray(X),
-            triangulated=np.asarray(good),
+            points3d=np.asarray(X)[:n],
+            triangulated=np.asarray(good)[:n],
             used_homography=used_h,
         )
 
