@@ -44,6 +44,9 @@ class KeyPointMap:
         self.cols = int(cols)
         self.rows = int(rows)
         self._items: dict[int, MapPointItem] = {}
+        # bumped on every structural change; consumers (the fused tracking
+        # path) cache derived arrays keyed by (owner id, version)
+        self.version = 0
 
     def clone(self) -> "KeyPointMap":
         m = KeyPointMap(self.cols, self.rows)
@@ -55,6 +58,7 @@ class KeyPointMap:
 
     def clear(self) -> None:
         self._items.clear()
+        self.version += 1
 
     def index_of(self, keypoint) -> int:
         x, y = int(keypoint[0]), int(keypoint[1])
@@ -78,6 +82,7 @@ class KeyPointMap:
             self._items[idx] = MapPointItem(
                 map_point, measurement=measurement, info=float(info)
             )
+        self.version += 1
 
     def set_map_point_by_index(self, index: int, map_point) -> None:
         self.set_map_point(self.keypoint_from_index(index), map_point)

@@ -1,11 +1,17 @@
-"""Host driver for the fused steady-state tracking path.
+"""Host driver for the fused steady-state tracking paths.
 
-Orchestrates slam/fused_tracking.py's two device programs and replays their
+Orchestrates slam/fused_tracking.py's device programs (`run`: two programs,
+two readbacks; `run_steady`: one program, ONE readback) and replays their
 association tables into the host map model with the exact semantics of the
 unfused path (tracking.py::track_with_motion_model + track_local_map — see
 the fused_tracking module docstring for the semantics contract). Falls back
 to the reference-twin host path (returning None) whenever the fused
 preconditions fail, so behavior degrades to the unfused flow, never diverges.
+
+Per-frame host work is minimized by a keyed device context (`_ensure_ctx`):
+the stacked local-KF features, association tables and geometry stay resident
+on device between keyframe events, invalidated by KeyPointMap version
+counters (slam/frame.py) and the map's geometry epoch (slam/map_model.py).
 """
 
 from __future__ import annotations
@@ -50,6 +56,98 @@ def _row_tables(mp_lists):
     return row_of, mps
 
 
+
+def _ensure_ctx(tracker, m) -> dict:
+    """Local-map device context: stacked KF features + association tables +
+    the KF-side row space + geometry tables. Rebuilt only when the local-KF
+    set, any member's KeyPointMap version, or the map's geometry epoch
+    changes (or a cached point turned bad) — between keyframe events this is
+    fully static, so steady-state frames skip both the host table walk and
+    the device-side feature re-stack."""
+    n_kf = len(tracker.local_keyframes)
+    ckey = (
+        tuple(kf.id for kf in tracker.local_keyframes),
+        tuple(kf.keypoint_map.version for kf in tracker.local_keyframes),
+        tracker.map.geometry_epoch,
+    )
+    ctx = getattr(tracker, "_fused_lm_ctx", None)
+    if ctx is not None and ctx["key"] == ckey and not any(
+        mp.is_bad for mp in ctx["mps"]
+    ):
+        return ctx
+
+    nkcap = _pow2(n_kf, floor=4)
+    kfs = list(tracker.local_keyframes) + [tracker.local_keyframes[0]] * (
+        nkcap - n_kf
+    )
+    kf_items = [
+        [
+            (idx, it)
+            for idx, it in kf.keypoint_map.items()
+            if it.map_point is not None and not it.map_point.is_bad
+        ]
+        for kf in kfs
+    ]
+    row_of_base, mps_base = _row_tables(
+        [[it.map_point for _, it in items] for items in kf_items]
+    )
+    # first KF slot proposing each row, in (kf, item) walk order — the
+    # cross-KF dedup marker's winner (Tracking.cc:589-599)
+    first_slot = np.full(len(mps_base), -1, np.int32)
+    for kslot in range(n_kf - 1, -1, -1):
+        for _, it in kf_items[kslot]:
+            first_slot[row_of_base[id(it.map_point)]] = kslot
+    mcap2 = _pow2(max((len(i) for i in kf_items), default=1))
+    kf_px = np.full((nkcap, mcap2), -1, np.int32)
+    kf_row = np.full((nkcap, mcap2), -1, np.int32)
+    for kslot, items in enumerate(kf_items):
+        for i, (idx, it) in enumerate(items):
+            kf_px[kslot, i] = idx
+            kf_row[kslot, i] = row_of_base[id(it.map_point)]
+    # mask padded keyframe slots entirely
+    kf_row[n_kf:] = -1
+    kf_feats = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[m.features_for(kf) for kf in kfs]
+    )
+    # geometry tables over the row space, static until geometry_epoch
+    # moves (position/normal writes bump it, map_model.py)
+    nrows = len(mps_base)
+    pos = np.zeros((nrows, 3), np.float32)
+    nrm = np.zeros((nrows, 3), np.float32)
+    maxd = np.zeros(nrows, np.float32)
+    for r, mp in enumerate(mps_base):
+        pos[r] = mp.world_pos
+        nrm[r] = mp.normal
+        maxd[r] = mp.distance_invariance()
+    # one-step path: rcap-padded row space with device-resident geometry
+    rcap = _pow2(nrows)
+    fs_pad = np.full(rcap, -1, np.int32)
+    fs_pad[:nrows] = first_slot
+    nrm_pad = np.zeros((rcap, 3), np.float32)
+    nrm_pad[:nrows] = nrm
+    maxd_pad = np.zeros(rcap, np.float32)
+    maxd_pad[:nrows] = maxd
+    ctx = {
+        "key": ckey,
+        "n_kf": n_kf,
+        "rcap": rcap,
+        "row_of": row_of_base,
+        "mps": mps_base,
+        "first_slot": first_slot,
+        "pos": pos,
+        "normal": nrm,
+        "maxdist": maxd,
+        "kf_px": jnp.asarray(kf_px),
+        "kf_row": jnp.asarray(kf_row),
+        "kf_feats": kf_feats,
+        "first_slot_d": jnp.asarray(fs_pad),
+        "normal_d": jnp.asarray(nrm_pad),
+        "maxdist_d": jnp.asarray(maxd_pad),
+    }
+    tracker._fused_lm_ctx = ctx
+    return ctx
+
+
 def run(tracker) -> bool | None:
     """Run the fused motion + local steps. Returns the final tracking ok
     (True/False) or None when the caller must fall back to the host path."""
@@ -80,36 +178,49 @@ def run(tracker) -> bool | None:
     for mp, r in ((mp, row_of[id(mp)]) for mp in mps1):
         mp_pos1[r] = mp.world_pos
 
-    feats, T1_d, row_d, keep_d, inl_d, n_good_d, n_matches_d, idx2_d, ok_d = (
-        fused_tracking.motion_step(
-            jnp.asarray(cur.image, jnp.float32),
-            prev_feats,
-            jnp.asarray(prev_px),
-            jnp.asarray(prev_row),
-            jnp.asarray(mp_pos1),
-            jnp.asarray(T_init),
-            jnp.asarray(tracker.K, jnp.float32),
-            jnp.float32(m.threshold),
-            jnp.int32(cols),
-            jnp.bool_(tracker.octave_information),
-            m.max_features,
-            m.fast_threshold,
-        )
+    feats, T1_d, packed_d = fused_tracking.motion_step(
+        jnp.asarray(cur.image, jnp.float32),
+        prev_feats,
+        jnp.asarray(prev_px),
+        jnp.asarray(prev_row),
+        jnp.asarray(mp_pos1),
+        jnp.asarray(T_init),
+        jnp.asarray(tracker.K, jnp.float32),
+        jnp.float32(m.threshold),
+        jnp.int32(cols),
+        jnp.bool_(tracker.octave_information),
+        m.max_features,
+        m.fast_threshold,
     )
     # seed the matcher cache so later stages (KF creation, local mapping)
     # reuse the device features without re-extracting
     m.seed_cache(cur, feats)
 
-    (T1, row, keep, inlier, n_good, n_matches, idx2, okm, cur_xy_f, cur_oct) = (
-        jax.device_get(
-            (T1_d, row_d, keep_d, inl_d, n_good_d, n_matches_d, idx2_d, ok_d,
-             feats.xy, feats.octave)
-        )
-    )
+    # one buffer = one relay round trip; unpack on host
+    p = np.asarray(jax.device_get(packed_d))
+    k_slots = (p.shape[0] - 18) // 8
+    T1 = p[:16].reshape(4, 4)
+    n_matches = int(p[17])
+    blk = p[18:].reshape(8, k_slots)
+    row = blk[0].astype(np.int32)
+    keep = blk[1] > 0.5
+    inlier = blk[2] > 0.5
+    idx2 = blk[3].astype(np.int32)
+    okm = blk[4] > 0.5
+    cur_xy_f = np.stack([blk[5], blk[6]], axis=-1)
+    cur_oct = blk[7].astype(np.int32)
     cur_xy_i = cur_xy_f.astype(np.int32)
 
-    # match image from the raw matches (CreateCurrentMatchImage, quirk B6)
-    prev_xy = np.asarray(prev_feats.xy)[idx2]
+    # match image from the raw matches (CreateCurrentMatchImage, quirk B6).
+    # last frame's xy came back in ITS packed readback — reuse the host copy
+    # instead of pulling prev_feats.xy from the device (a relay round trip)
+    cached = getattr(tracker, "_fused_prev_xy", None)
+    if cached is not None and cached[0] == tracker.last_frame.id:
+        prev_xy_host = cached[1]
+    else:
+        prev_xy_host = np.asarray(prev_feats.xy)
+    tracker._fused_prev_xy = (cur.id, cur_xy_f)
+    prev_xy = prev_xy_host[idx2]
     res = MatchFramesResult(
         frame1=cur,
         frame2=tracker.last_frame,
@@ -169,68 +280,50 @@ def run(tracker) -> bool | None:
         pix: s for pix, s in slot_of_pixel.items() if pix in cur.keypoint_map._items
     }
 
-    # candidate collection with the cross-KF dedup marker (589-599)
-    cand_mps, cand_slot = [], []
-    for slot, kf in enumerate(tracker.local_keyframes):
-        for _, item in kf.map_point_items():
-            mp = item.map_point
-            if mp is None or mp.is_bad:
-                continue
-            if mp.track_reference_for_frame == cur.id:
-                continue
-            mp.track_reference_for_frame = cur.id
-            if mp.last_frame_seen != cur.id:
-                cand_mps.append(mp)
-                cand_slot.append(slot)
-
     n_kf = len(tracker.local_keyframes)
     if n_kf == 0:
         return None
-    nkcap = _pow2(n_kf, floor=4)
-    kfs = list(tracker.local_keyframes) + [tracker.local_keyframes[0]] * (
-        nkcap - n_kf
-    )
 
-    # per-KF association tables + shared row space
-    kf_items = [
-        [
-            (idx, it)
-            for idx, it in kf.keypoint_map.items()
-            if it.map_point is not None and not it.map_point.is_bad
-        ]
-        for kf in kfs
-    ]
-    cur_assoc_mps = [
-        cur.keypoint_map._items[i].map_point for i in slot_of_pixel
-    ]
-    row_of2, mps2 = _row_tables(
-        [cur_assoc_mps, cand_mps]
-        + [[it.map_point for _, it in items] for items in kf_items]
-    )
-    mcap2 = _pow2(max((len(i) for i in kf_items), default=1))
-    kf_px = np.full((nkcap, mcap2), -1, np.int32)
-    kf_row = np.full((nkcap, mcap2), -1, np.int32)
-    for kslot, items in enumerate(kf_items):
-        for i, (idx, it) in enumerate(items):
-            kf_px[kslot, i] = idx
-            kf_row[kslot, i] = row_of2[id(it.map_point)]
-    # mask padded keyframe slots entirely
-    kf_row[n_kf:] = -1
+    ctx = _ensure_ctx(tracker, m)
+
+    # candidate collection over the cached unique row space (the dedup
+    # marker resolves identically: first proposing KF wins the slot)
+    cand_mps, cand_slot, cand_row = [], [], []
+    for r, mp in enumerate(ctx["mps"]):
+        mp.track_reference_for_frame = cur.id
+        if mp.last_frame_seen != cur.id:
+            cand_mps.append(mp)
+            cand_slot.append(int(ctx["first_slot"][r]))
+            cand_row.append(r)
+
+    # extend the row space with current-frame associations the KF tables
+    # don't cover (rare: points whose observers left the local window)
+    row_of2 = dict(ctx["row_of"])
+    mps2 = list(ctx["mps"])
+    for i in slot_of_pixel:
+        mp = cur.keypoint_map._items[i].map_point
+        if id(mp) not in row_of2:
+            row_of2[id(mp)] = len(mps2)
+            mps2.append(mp)
 
     ccap = _pow2(len(cand_mps))
+    nc = len(cand_mps)
+    rows_arr = np.asarray(cand_row, np.int32)
     cand_pos = np.zeros((ccap, 3), np.float32)
     cand_normal = np.zeros((ccap, 3), np.float32)
     cand_maxdist = np.zeros(ccap, np.float32)
     cand_slot_arr = np.full(ccap, -1, np.int32)
-    for i, (mp, s) in enumerate(zip(cand_mps, cand_slot)):
-        cand_pos[i] = mp.world_pos
-        cand_normal[i] = mp.normal
-        cand_maxdist[i] = mp.distance_invariance()
-        cand_slot_arr[i] = s
+    if nc:
+        cand_pos[:nc] = ctx["pos"][rows_arr]
+        cand_normal[:nc] = ctx["normal"][rows_arr]
+        cand_maxdist[:nc] = ctx["maxdist"][rows_arr]
+        cand_slot_arr[:nc] = np.asarray(cand_slot, np.int32)
 
     pcap2 = _pow2(len(mps2), floor=8)
     mp_pos2 = np.zeros((pcap2, 3), np.float32)
-    for mp in mps2:
+    nbase = len(ctx["mps"])
+    mp_pos2[:nbase] = ctx["pos"]
+    for mp in mps2[nbase:]:
         mp_pos2[row_of2[id(mp)]] = mp.world_pos
 
     k_slots = cur_xy_f.shape[0]
@@ -238,16 +331,13 @@ def run(tracker) -> bool | None:
     for pix, s in slot_of_pixel.items():
         cur_row[s] = row_of2[id(cur.keypoint_map._items[pix].map_point)]
 
-    kf_feats = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[m.features_for(kf) for kf in kfs]
-    )
-    T2_d, new_row_d, inl2_d, n_inl_d, vis_d, _ = fused_tracking.local_step(
+    packed2_d = fused_tracking.local_step(
         feats,
         jnp.asarray(cur_row),
         T1_d,
-        kf_feats,
-        jnp.asarray(kf_px),
-        jnp.asarray(kf_row),
+        ctx["kf_feats"],
+        ctx["kf_px"],
+        ctx["kf_row"],
         jnp.asarray(cand_pos),
         jnp.asarray(cand_normal),
         jnp.asarray(cand_maxdist),
@@ -261,7 +351,11 @@ def run(tracker) -> bool | None:
         jnp.float32(tracker.img_height),
         jnp.bool_(tracker.octave_information),
     )
-    T2, new_row, inlier2, vis = jax.device_get((T2_d, new_row_d, inl2_d, vis_d))
+    p2 = np.asarray(jax.device_get(packed2_d))
+    T2 = p2[:16].reshape(4, 4)
+    new_row = p2[17 : 17 + k_slots].astype(np.int32)
+    inlier2 = p2[17 + k_slots : 17 + 2 * k_slots] > 0.5
+    vis = p2[17 + 2 * k_slots :] > 0.5
 
     # frustum-visible candidates observed (Tracking.cc:612-616)
     for i in np.nonzero(vis[: len(cand_mps)])[0]:
@@ -291,6 +385,206 @@ def run(tracker) -> bool | None:
             item.map_point.increase_found()
             if item.map_point.n_obs > 0:
                 tracker.n_matches_inliers += 1
+
+    coeff = tracker.n_matches_inliers / max(tracker.min_local_match_count, 1)
+    tracker._log(
+        f"Tracking coefficient - {coeff}, if < 1.0 then tracking will be lost."
+    )
+    return tracker.n_matches_inliers >= tracker.min_local_match_count
+
+
+def run_steady(tracker) -> bool | None:
+    """One-program steady-state frame (`fusedOneStep`): motion + local-map
+    tracking with a SINGLE readback. Uses the local-KF window computed after
+    the previous frame (one frame stale; refreshed here after the readback —
+    see fused_tracking.steady_step). Returns the final tracking ok, or None
+    to fall back to the two-program / host paths."""
+    m = tracker.matcher
+    cur = tracker.current_frame
+    cols = cur.keypoint_map.cols
+    if not tracker.local_keyframes:
+        return None
+    ctx = _ensure_ctx(tracker, m)
+    rcap = ctx["rcap"]
+    nrows = len(ctx["mps"])
+
+    tracker.update_last_frame()
+    T_init = (tracker.velocity @ tracker.last_frame.Tcw).astype(np.float32)
+    cur.keypoint_map.clear()
+
+    prev_feats = m.features_for(tracker.last_frame)
+    prev_items = [
+        (idx, it)
+        for idx, it in tracker.last_frame.keypoint_map.items()
+        if it.map_point is not None
+    ]
+    # prev associations in the ctx row space; points outside the window get
+    # extension rows past rcap (their positions ride the mp_pos upload)
+    ext: list = []
+    ext_rows: dict = {}
+    mcap = _pow2(len(prev_items))
+    prev_px = np.full(mcap, -1, np.int32)
+    prev_row = np.full(mcap, -1, np.int32)
+    for i, (idx, it) in enumerate(prev_items):
+        mp = it.map_point
+        r = ctx["row_of"].get(id(mp))
+        if r is None:
+            r = ext_rows.get(id(mp))
+            if r is None:
+                r = rcap + len(ext)
+                ext_rows[id(mp)] = r
+                ext.append(mp)
+        prev_px[i] = idx
+        prev_row[i] = r
+    pcap = _pow2(rcap + len(ext))
+    mp_pos = np.zeros((pcap, 3), np.float32)
+    mp_pos[:nrows] = ctx["pos"]
+    for j, mp in enumerate(ext):
+        mp_pos[rcap + j] = mp.world_pos
+
+    feats, packed_d = fused_tracking.steady_step(
+        jnp.asarray(cur.image, jnp.float32),
+        prev_feats,
+        jnp.asarray(prev_px),
+        jnp.asarray(prev_row),
+        jnp.asarray(mp_pos),
+        jnp.asarray(T_init),
+        ctx["kf_feats"],
+        ctx["kf_px"],
+        ctx["kf_row"],
+        ctx["first_slot_d"],
+        ctx["normal_d"],
+        ctx["maxdist_d"],
+        jnp.asarray(tracker.K, jnp.float32),
+        jnp.float32(m.threshold),
+        jnp.int32(cols),
+        jnp.float32(tracker.img_width),
+        jnp.float32(tracker.img_height),
+        jnp.bool_(tracker.octave_information),
+        m.max_features,
+        m.fast_threshold,
+    )
+    m.seed_cache(cur, feats)
+
+    # THE one readback of the frame
+    p = np.asarray(jax.device_get(packed_d))
+    k_slots = (p.shape[0] - 35 - rcap) // 10
+    T1 = p[:16].reshape(4, 4)
+    n_matches = int(p[17])
+    blk = p[18 : 18 + 8 * k_slots].reshape(8, k_slots)
+    row = blk[0].astype(np.int32)
+    keep = blk[1] > 0.5
+    inlier = blk[2] > 0.5
+    idx2 = blk[3].astype(np.int32)
+    okm = blk[4] > 0.5
+    cur_xy_f = np.stack([blk[5], blk[6]], axis=-1)
+    cur_oct = blk[7].astype(np.int32)
+    cur_xy_i = cur_xy_f.astype(np.int32)
+    off = 18 + 8 * k_slots
+    T2 = p[off : off + 16].reshape(4, 4)
+    new_row = p[off + 17 : off + 17 + k_slots].astype(np.int32)
+    inlier2 = p[off + 17 + k_slots : off + 17 + 2 * k_slots] > 0.5
+    vis = p[off + 17 + 2 * k_slots :] > 0.5
+
+    # match image from the raw matches (CreateCurrentMatchImage, quirk B6)
+    cached = getattr(tracker, "_fused_prev_xy", None)
+    if cached is not None and cached[0] == tracker.last_frame.id:
+        prev_xy_host = cached[1]
+    else:
+        prev_xy_host = np.asarray(prev_feats.xy)
+    tracker._fused_prev_xy = (cur.id, cur_xy_f)
+    prev_xy = prev_xy_host[idx2]
+    res = MatchFramesResult(
+        frame1=cur,
+        frame2=tracker.last_frame,
+        keypoints1=cur_xy_i[okm],
+        keypoints2=prev_xy[okm].astype(np.int32),
+    )
+    tracker.create_current_match_image(res)
+
+    if n_matches < tracker.min_local_match_count:
+        return None  # too few raw matches -> host ref-KF path
+
+    def mp_of_row(r: int):
+        return ctx["mps"][r] if r < nrows else ext[r - rcap]
+
+    info_of = (
+        (lambda o: float(1.2 ** (-2.0 * o)))
+        if tracker.octave_information
+        else (lambda o: 1.0)
+    )
+    # motion association replay (last-writer-wins resolved on device)
+    slot_of_pixel: dict[int, int] = {}
+    n_matches_map = 0
+    for s in np.nonzero(keep)[0]:
+        mp = mp_of_row(row[s])
+        if inlier[s]:
+            px = (int(cur_xy_i[s, 0]), int(cur_xy_i[s, 1]))
+            cur.keypoint_map.set_map_point(
+                px, mp,
+                measurement=(float(cur_xy_f[s, 0]), float(cur_xy_f[s, 1])),
+                info=info_of(int(cur_oct[s])),
+            )
+            slot_of_pixel[cur.keypoint_map.index_of(px)] = int(s)
+            if mp.n_obs > 0:
+                n_matches_map += 1
+        else:
+            mp.last_frame_seen = cur.id
+    cur.set_pose(T1)
+
+    if n_matches_map < 10:
+        return None  # motion-model failed -> host ref-KF path
+
+    # visible/seen bookkeeping for associated points (Tracking.cc:577-588)
+    to_remove = []
+    for idx, item in cur.keypoint_map.items():
+        mp = item.map_point
+        if mp.is_bad:
+            to_remove.append(idx)
+        else:
+            mp.increase_visible()
+            mp.last_frame_seen = cur.id
+    for idx in to_remove:
+        cur.keypoint_map.set_map_point_by_index(idx, None)
+    slot_of_pixel = {
+        pix: s for pix, s in slot_of_pixel.items() if pix in cur.keypoint_map._items
+    }
+
+    # candidate marker parity + frustum-visible counters (Tracking.cc:589-616)
+    for mp in ctx["mps"]:
+        mp.track_reference_for_frame = cur.id
+    for r in np.nonzero(vis[:nrows])[0]:
+        ctx["mps"][r].increase_visible()
+
+    # replay new associations (first-wins resolved on device; rows are
+    # always ctx rows — only the KF tables propose)
+    for s in np.nonzero(new_row >= 0)[0]:
+        mp = ctx["mps"][new_row[s]]
+        px = (int(cur_xy_i[s, 0]), int(cur_xy_i[s, 1]))
+        cur.keypoint_map.set_map_point(
+            px, mp,
+            measurement=(float(cur_xy_f[s, 0]), float(cur_xy_f[s, 1])),
+            info=info_of(int(cur_oct[s])),
+        )
+        slot_of_pixel[cur.keypoint_map.index_of(px)] = int(s)
+
+    cur.set_pose(T2)
+
+    # final inlier accounting (TrackLocalMap, Tracking.cc:497-516)
+    tracker.n_matches_inliers = 0
+    for pix, s in slot_of_pixel.items():
+        item = cur.keypoint_map._items.get(pix)
+        if item is None:
+            continue
+        item.outlier = not bool(inlier2[s])
+        if not item.outlier:
+            item.map_point.increase_found()
+            if item.map_point.n_obs > 0:
+                tracker.n_matches_inliers += 1
+
+    # refresh the (one-frame-stale) window + reference KF for the keyframe
+    # decision and the next frame's context
+    tracker.update_local_keyframes()
 
     coeff = tracker.n_matches_inliers / max(tracker.min_local_match_count, 1)
     tracker._log(

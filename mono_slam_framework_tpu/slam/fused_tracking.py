@@ -1,10 +1,10 @@
-"""Fused steady-state tracking: the per-frame hot path as TWO device programs.
+"""Fused steady-state tracking: the per-frame hot path as device programs.
 
 The reference's per-frame superloop (System.cc:63-75 -> Tracking.cc:102-217)
 is a chain of small stages. Run naively against a remote TPU, each stage is a
 separate dispatch + readback, and the relay round-trip (~27 ms each, ~10 per
 frame) dominates wall time. This module fuses the steady-state OK-path into
-two fixed-shape jitted programs with ONE readback each:
+fixed-shape jitted programs with ONE packed readback each:
 
   * `motion_step`  — ORB extraction on the new image + Hamming match against
     the last frame + exact-pixel association against the last frame's
@@ -13,7 +13,12 @@ two fixed-shape jitted programs with ONE readback each:
   * `local_step`   — frustum visibility over the local-map candidates +
     batched matching against every ACTIVE local keyframe + first-wins
     association + pose LM over the union
-    (TrackLocalMap/SearchLocalPoints, Tracking.cc:487-633).
+    (TrackLocalMap/SearchLocalPoints, Tracking.cc:487-633);
+  * `steady_step`  — BOTH of the above as ONE program with ONE readback
+    (opt-in `fusedOneStep`): candidate filtering (a map point is a candidate
+    iff this frame's motion matches did not see it) moves on device, and the
+    local-keyframe window is the one computed after the PREVIOUS frame (one
+    frame stale; refreshed on the host right after the readback).
 
 Host bookkeeping (KeyPointMap writes, MapPoint counters, state decisions,
 keyframe creation) replays the returned association tables, preserving the
@@ -25,9 +30,11 @@ outlier purge between the two optimizations, and the inactive-keyframe skip
 
 Map state rides each call as small padded uploads (positions/normals of the
 referenced map points only) — uploads overlap the dispatch, so the per-frame
-cost is two round trips instead of ten. Enabled by
-`SlamParameters.fusedTracking`; the unfused path remains the reference twin
-and the fused path is pinned against it by tests/test_fused.py.
+cost is one or two round trips instead of ten. Every host-bound output is
+packed into ONE f32 array per program because each device->host buffer is a
+separate relay round trip. Enabled by `SlamParameters.fusedTracking` (+
+`fusedOneStep`); the unfused path remains the reference twin and the fused
+paths are pinned against it by tests/test_fused.py.
 """
 
 from __future__ import annotations
@@ -49,27 +56,15 @@ def _pow2(n: int, floor: int = 64) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
-def motion_step(
-    img,
-    prev_feats: orb.Features,
-    prev_px,  # i32 [M] pixel index (y*cols+x) of last-frame associations
-    prev_row,  # i32 [M] row into mp_pos (-1 = padding)
-    mp_pos,  # f32 [P,3]
-    T_init,
-    K,
-    ratio,
-    cols: jnp.int32,
-    use_octave_info,
-    max_features: int,
-    fast_threshold: float,
-):
-    """Extract + match-vs-last + associate + pose LM, one program.
+def _f32(x):
+    return jnp.asarray(x, jnp.float32).ravel()
 
-    Returns (cur_feats, T1, assoc_row [K], keep [K], inlier [K], n_good,
-    n_matches, idx2 [K], ok [K]) — assoc_row is the mp row per current
-    feature slot after exact-pixel lookup and per-pixel last-writer dedup.
-    """
+
+def _motion_core(
+    img, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+    use_octave_info, max_features, fast_threshold,
+):
+    """Extract + match-vs-last + exact-pixel associate + pose LM."""
     cur = orb.extract(img, max_features, fast_threshold)
     d = hamming.distance_matrix(cur.desc, prev_feats.desc, cur.valid, prev_feats.valid)
     idx2, ok = hamming.knn2_ratio_match(d, ratio)
@@ -101,61 +96,47 @@ def motion_step(
         use_octave_info, 1.2 ** (-2.0 * cur.octave.astype(jnp.float32)), 1.0
     )
     T1, inlier, n_good = pose_optimize(T_init, Xw, cur.xy, keep, K, info)
-    return cur, T1, row, keep, inlier, n_good, jnp.sum(ok.astype(jnp.int32)), idx2, ok
+    return cur, T1, row, keep, inlier, n_good, idx2, ok
 
 
-@jax.jit
-def local_step(
-    cur_feats: orb.Features,
-    cur_row,  # i32 [K] mp row per slot from the motion step (inliers only)
-    T1,
-    kf_feats: orb.Features,  # stacked [N, ...]
-    kf_px,  # i32 [N,M] pixel index of each keyframe's associations
-    kf_row,  # i32 [N,M] mp row (-1 = padding)
-    cand_pos,  # f32 [C,3] candidate map points (not yet seen this frame)
-    cand_normal,  # f32 [C,3]
-    cand_maxdist,  # f32 [C]
-    cand_slot,  # i32 [C] which keyframe stack slot proposed the candidate
-    mp_pos,  # f32 [P,3]
-    T_for_frustum,
-    K,
-    ratio,
-    cols: jnp.int32,
-    width: jnp.float32,
-    height: jnp.float32,
-    use_octave_info=True,
-):
-    """Frustum + batched local-KF matching + association + pose LM.
+def _motion_pack(cur, T1, row, keep, inlier, n_good, idx2, ok):
+    """Motion outputs as one f32 array: T1 (16), n_good (1), n_matches (1),
+    then K-blocks row/keep/inlier/idx2/ok/xy_x/xy_y/octave. int->f32 is
+    exact below 2^24 (rows/indices are far smaller)."""
+    return jnp.concatenate(
+        [
+            _f32(T1),  # 16
+            _f32(n_good),  # 1
+            _f32(jnp.sum(ok.astype(jnp.int32))),  # 1
+            _f32(row), _f32(keep), _f32(inlier), _f32(idx2), _f32(ok),  # 5K
+            _f32(cur.xy[:, 0]), _f32(cur.xy[:, 1]), _f32(cur.octave),  # 3K
+        ]
+    )
 
-    Returns (T2, new_row [K], inlier [K], n_inliers, vis [C], kf_active [N]).
-    new_row is the mp row newly associated per current slot (-1 none);
-    inlier flags cover the union of old + new associations per slot.
-    """
-    # vectorized Frame::isInFrustum over the candidate set (Frame.cc:48-84)
-    R = T_for_frustum[:3, :3]
-    t = T_for_frustum[:3, 3]
-    Xc = cand_pos @ R.T + t
+
+def _frustum(pos, normal, maxdist, T, K, width, height):
+    """Vectorized Frame::isInFrustum (Frame.cc:48-84) -> bool [C]."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Xc = pos @ R.T + t
     z_ok = Xc[:, 2] >= 0.0
     zs = jnp.where(Xc[:, 2] == 0, 1.0, Xc[:, 2])
     u = K[0, 0] * Xc[:, 0] / zs + K[0, 2]
     v = K[1, 1] * Xc[:, 1] / zs + K[1, 2]
     in_img = (u >= 0.0) & (u <= width) & (v >= 0.0) & (v <= height)
     Ow = -R.T @ t
-    PO = cand_pos - Ow
+    PO = pos - Ow
     dist = jnp.linalg.norm(PO, axis=-1)
     safe = jnp.where(dist == 0, 1.0, dist)
-    cos_ok = jnp.sum(PO * cand_normal, axis=-1) / safe >= 0.5
-    real = cand_slot >= 0
-    vis = z_ok & in_img & (dist <= cand_maxdist) & cos_ok & real
+    cos_ok = jnp.sum(PO * normal, axis=-1) / safe >= 0.5
+    return z_ok & in_img & (dist <= maxdist) & cos_ok
 
-    # a keyframe is matched only if it proposed a visible candidate
-    # (n_to_match > 0 gate, Tracking.cc:600-609 / tracking.py targets)
-    n_kf = kf_px.shape[0]
-    kf_active = jax.ops.segment_max(
-        vis.astype(jnp.int32), jnp.clip(cand_slot, 0), n_kf
-    ) > 0
 
-    # batched match current frame vs every local keyframe
+def _local_core(
+    cur_feats, cur_row, T1, kf_feats, kf_px, kf_row, kf_active, mp_pos, K,
+    ratio, cols, use_octave_info,
+):
+    """Batched local-KF matching + first-wins association + pose LM."""
     def match_one(f2, px2, row2):
         d = hamming.distance_matrix(
             cur_feats.desc, f2.desc, cur_feats.valid, f2.valid
@@ -203,4 +184,156 @@ def local_step(
         use_octave_info, 1.2 ** (-2.0 * cur_feats.octave.astype(jnp.float32)), 1.0
     )
     T2, inlier, n_good = pose_optimize(T1, Xw, cur_feats.xy, valid, K, info)
-    return T2, new_row, inlier, n_good, vis, kf_active
+    return T2, new_row, inlier, n_good
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
+def motion_step(
+    img,
+    prev_feats: orb.Features,
+    prev_px,  # i32 [M] pixel index (y*cols+x) of last-frame associations
+    prev_row,  # i32 [M] row into mp_pos (-1 = padding)
+    mp_pos,  # f32 [P,3]
+    T_init,
+    K,
+    ratio,
+    cols: jnp.int32,
+    use_octave_info,
+    max_features: int,
+    fast_threshold: float,
+):
+    """Extract + match-vs-last + associate + pose LM, one program.
+
+    Returns (cur_feats, T1, packed) — packed is ONE f32 array in the
+    `_motion_pack` layout. The association row is the mp row per current
+    feature slot after exact-pixel lookup and per-pixel last-writer dedup.
+    """
+    cur, T1, row, keep, inlier, n_good, idx2, ok = _motion_core(
+        img, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+        use_octave_info, max_features, fast_threshold,
+    )
+    return cur, T1, _motion_pack(cur, T1, row, keep, inlier, n_good, idx2, ok)
+
+
+@jax.jit
+def local_step(
+    cur_feats: orb.Features,
+    cur_row,  # i32 [K] mp row per slot from the motion step (inliers only)
+    T1,
+    kf_feats: orb.Features,  # stacked [N, ...]
+    kf_px,  # i32 [N,M] pixel index of each keyframe's associations
+    kf_row,  # i32 [N,M] mp row (-1 = padding)
+    cand_pos,  # f32 [C,3] candidate map points (not yet seen this frame)
+    cand_normal,  # f32 [C,3]
+    cand_maxdist,  # f32 [C]
+    cand_slot,  # i32 [C] which keyframe stack slot proposed the candidate
+    mp_pos,  # f32 [P,3]
+    T_for_frustum,
+    K,
+    ratio,
+    cols: jnp.int32,
+    width: jnp.float32,
+    height: jnp.float32,
+    use_octave_info=True,
+):
+    """Frustum + batched local-KF matching + association + pose LM.
+
+    Returns ONE packed f32 array: T2 (16), n_inliers (1), new_row (K),
+    inlier (K), vis (C). new_row is the mp row newly associated per current
+    slot (-1 none); inlier flags cover the union of old + new associations
+    per slot.
+    """
+    real = cand_slot >= 0
+    vis = (
+        _frustum(cand_pos, cand_normal, cand_maxdist, T_for_frustum, K, width, height)
+        & real
+    )
+    # a keyframe is matched only if it proposed a visible candidate
+    # (n_to_match > 0 gate, Tracking.cc:600-609 / tracking.py targets)
+    n_kf = kf_px.shape[0]
+    kf_active = jax.ops.segment_max(
+        vis.astype(jnp.int32), jnp.clip(cand_slot, 0), n_kf
+    ) > 0
+
+    T2, new_row, inlier, n_good = _local_core(
+        cur_feats, cur_row, T1, kf_feats, kf_px, kf_row, kf_active, mp_pos,
+        K, ratio, cols, use_octave_info,
+    )
+    return jnp.concatenate(
+        [_f32(T2), _f32(n_good), _f32(new_row), _f32(inlier), _f32(vis)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
+def steady_step(
+    img,
+    prev_feats: orb.Features,
+    prev_px,  # i32 [M] pixel index of last-frame associations
+    prev_row,  # i32 [M] row into mp_pos (-1 = padding)
+    mp_pos,  # f32 [P,3] positions over ctx rows + per-frame extensions
+    T_init,
+    kf_feats: orb.Features,  # stacked [N, ...] local-KF context (cached)
+    kf_px,  # i32 [N,M2]
+    kf_row,  # i32 [N,M2] rows into mp_pos
+    first_slot,  # i32 [R] first KF slot proposing each ctx row (-1 pad)
+    ctx_normal,  # f32 [R,3] viewing normals over ctx rows
+    ctx_maxdist,  # f32 [R]
+    K,
+    ratio,
+    cols: jnp.int32,
+    width: jnp.float32,
+    height: jnp.float32,
+    use_octave_info,
+    max_features: int,
+    fast_threshold: float,
+):
+    """Motion + local tracking as ONE program with ONE packed readback.
+
+    Candidate filtering happens on device: a ctx row is a candidate iff no
+    motion match saw it this frame (the device twin of the last_frame_seen
+    stamp walk, Tracking.cc:577-599). The local-KF window (kf_* tables) is
+    the one computed after the previous frame — one frame stale, refreshed
+    on the host after the readback.
+
+    Packed layout: T1 (16), n_good1 (1), n_matches (1), then K-blocks
+    row/keep/inlier1/idx2/ok/xy_x/xy_y/octave, then T2 (16), n_good2 (1),
+    new_row (K), inlier2 (K), vis (R).
+    """
+    cur, T1, row, keep, inlier, n_good, idx2, ok = _motion_core(
+        img, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+        use_octave_info, max_features, fast_threshold,
+    )
+
+    # inliers carry into the local phase (the host replay drops outliers
+    # before SearchLocalPoints; same rule here)
+    cur_row = jnp.where(keep & inlier, row, NONE)
+
+    # device twin of the last_frame_seen stamps: every row a motion match
+    # touched (inlier via SetMapPoint + the seen loop, outlier via the
+    # direct stamp) is excluded from the candidate set
+    P = mp_pos.shape[0]
+    seen = jnp.zeros(P, bool).at[jnp.clip(row, 0)].max(keep)
+
+    R = first_slot.shape[0]
+    vis = (
+        _frustum(mp_pos[:R], ctx_normal, ctx_maxdist, T1, K, width, height)
+        & (first_slot >= 0)
+        & ~seen[:R]
+    )
+    n_kf = kf_px.shape[0]
+    kf_active = jax.ops.segment_max(
+        vis.astype(jnp.int32), jnp.clip(first_slot, 0), n_kf
+    ) > 0
+
+    T2, new_row, inlier2, n_good2 = _local_core(
+        cur, cur_row, T1, kf_feats, kf_px, kf_row, kf_active, mp_pos,
+        K, ratio, cols, use_octave_info,
+    )
+
+    packed = jnp.concatenate(
+        [
+            _motion_pack(cur, T1, row, keep, inlier, n_good, idx2, ok),
+            _f32(T2), _f32(n_good2), _f32(new_row), _f32(inlier2), _f32(vis),
+        ]
+    )
+    return cur, packed

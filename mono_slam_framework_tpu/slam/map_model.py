@@ -42,6 +42,9 @@ class Map:
         self.map_points: set = set()
         self.max_kf_id = 0
         self.big_change_idx = 0
+        # bumped on every map-point position/normal change; device-side
+        # caches of geometry tables (fused tracking ctx) key on this
+        self.geometry_epoch = 0
         self.keyframe_origins: list = []
         # native C++ observation/covisibility core (ctypes); None -> Python
         self.obs_graph = _try_native_graph() if use_native_graph else None
@@ -121,6 +124,8 @@ class MapPoint:
 
     def set_world_pos(self, pos) -> None:
         self.world_pos = np.asarray(pos, np.float32).reshape(3).copy()
+        if self.map is not None:
+            self.map.geometry_epoch += 1
 
     def get_world_pos(self) -> np.ndarray:
         return self.world_pos.copy()
@@ -227,6 +232,8 @@ class MapPoint:
         self.normal = (normal / len(self.observations)).astype(np.float32)
         pc = self.world_pos - self.ref_kf.get_camera_center()
         self.distance = float(np.linalg.norm(pc))
+        if self.map is not None:
+            self.map.geometry_epoch += 1
 
     def distance_invariance(self) -> float:
         return 1.2 * self.distance  # MapPoint.cc:222
