@@ -104,7 +104,7 @@ def main():
     print(json.dumps(out))
 
 
-def _bench_system(fused: bool):
+def _bench_system(fused: bool, one_step: bool = False):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
     (System.cc:63-75 per-frame superloop), steady state after initialization.
@@ -135,7 +135,7 @@ def _bench_system(fused: bool):
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
         max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
-        fusedTracking=fused,
+        fusedTracking=fused, fusedOneStep=one_step,
     )
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
@@ -163,6 +163,7 @@ def bench_end_to_end():
     fused steady-state path (slam/fused_tracking.py), with stage breakdowns."""
     fps_ref, stages_ref = _bench_system(fused=False)
     fps_fused, stages_fused = _bench_system(fused=True)
+    fps_one, stages_one = _bench_system(fused=True, one_step=True)
     return {
         "e2e_fps_2000feat": fps_ref,
         "e2e_vs_baseline": round(fps_ref / 60.0, 3),
@@ -170,6 +171,9 @@ def bench_end_to_end():
         "e2e_fused_fps_2000feat": fps_fused,
         "e2e_fused_vs_baseline": round(fps_fused / 60.0, 3),
         "e2e_fused_stage_ms": stages_fused,
+        "e2e_onestep_fps_2000feat": fps_one,
+        "e2e_onestep_vs_baseline": round(fps_one / 60.0, 3),
+        "e2e_onestep_stage_ms": stages_one,
     }
 
 

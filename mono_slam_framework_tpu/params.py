@@ -52,6 +52,14 @@ class SlamParameters:
     # reference twin).
     fusedTracking: bool = False
 
+    # On top of fusedTracking: collapse BOTH programs into ONE with a single
+    # readback per steady frame (fused_tracking.steady_step). Candidate
+    # filtering moves on-device and the local-keyframe window is the one
+    # computed after the previous frame (one frame stale, refreshed after
+    # the readback) — a deliberate, measured deviation from the reference
+    # ordering; A/B'd against the two-program path by tests/test_fused.py.
+    fusedOneStep: bool = False
+
     # Opt-in escape from the post-relocalization KF-insertion cooldown
     # (Tracking.cc:525-527 blocks insertion for maxFrames after reloc; with a
     # fast camera the map starves while inliers decay — KNOWN_ISSUES.md).

@@ -80,6 +80,13 @@ def main(argv=None):
         "fixed-shape device programs (slam/fused_tracking.py)",
     )
     p.add_argument(
+        "--fused-one-step",
+        action="store_true",
+        help="with --fused: both tracking phases as ONE device program with "
+        "a single readback per steady frame (one-frame-stale local-KF "
+        "window; fused_tracking.steady_step)",
+    )
+    p.add_argument(
         "--reloc-cooldown-inlier-floor",
         type=int,
         default=0,
@@ -128,7 +135,8 @@ def main(argv=None):
         minIniMatchCount=args.min_ini_matches,
         initializerModelFallback=args.model_fallback,
         relocCooldownInlierFloor=args.reloc_cooldown_inlier_floor,
-        fusedTracking=args.fused,
+        fusedTracking=args.fused or args.fused_one_step,
+        fusedOneStep=args.fused_one_step,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet

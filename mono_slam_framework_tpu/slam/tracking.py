@@ -178,7 +178,10 @@ class Tracking:
                     # its preconditions failed -> unfused reference flow
                     fused = None
                     if fused_host.applicable(self):
-                        fused = fused_host.run(self)
+                        if getattr(self.params, "fusedOneStep", False):
+                            fused = fused_host.run_steady(self)
+                        if fused is None:
+                            fused = fused_host.run(self)
                     if fused is not None:
                         ok = fused
                         fused_done = True

@@ -21,13 +21,14 @@ from mono_slam_framework_tpu.slam.tracking import TrackingState
 from synthetic_world import PlaneWorld, lateral_trajectory
 
 
-def _run(world, poses, fused: bool):
+def _run(world, poses, fused: bool, one_step: bool = False):
     reset_frame_ids()
     reset_map_ids()
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
         max_features=400, minIniMatchCount=100,
         initializerModelFallback=True, fusedTracking=fused,
+        fusedOneStep=one_step,
     )
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=400)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
@@ -82,3 +83,48 @@ class TestFusedTracking:
         ate_pair, n = trajectory.ate_rmse(t_f, p_f, t_r, p_r)
         assert n >= 10
         assert ate_pair < 0.03, ate_pair
+
+
+class TestFusedOneStep:
+    """The single-readback steady path (fusedOneStep) vs the unfused twin.
+
+    The one-step path deliberately uses a one-frame-stale local-KF window
+    (fused_tracking.steady_step), so parity bounds are the same
+    float-accumulation ones as the two-program path — on this world the
+    window is static in steady state.
+    """
+
+    @pytest.fixture(scope="class")
+    def runs(self):
+        world = PlaneWorld(second_plane=(3.0, 0.3))
+        poses = lateral_trajectory(20, step=0.07)
+        sys_ref, st_ref = _run(world, poses, fused=False)
+        sys_one, st_one = _run(world, poses, fused=True, one_step=True)
+        return world, poses, sys_ref, st_ref, sys_one, st_one
+
+    def test_steady_and_states(self, runs):
+        _, _, _, st_ref, sys_one, st_one = runs
+        assert st_one[-1] == TrackingState.OK
+        assert sum(s == TrackingState.OK for s in st_one) >= 10
+        assert [s.name for s in st_one] == [s.name for s in st_ref]
+
+    def test_map_growth_close(self, runs):
+        _, _, sys_ref, _, sys_one, _ = runs
+        assert abs(sys_one.map.n_keyframes() - sys_ref.map.n_keyframes()) <= 1
+        ref_mp = sys_ref.map.n_map_points()
+        assert abs(sys_one.map.n_map_points() - ref_mp) <= 0.25 * ref_mp
+
+    def test_trajectory_close(self, runs, tmp_path):
+        world, poses, sys_ref, _, sys_one, _ = runs
+        fa, fb = str(tmp_path / "ref.txt"), str(tmp_path / "one.txt")
+        sys_ref.save_trajectory_tum(fa)
+        sys_one.save_trajectory_tum(fb)
+        t_r, p_r, _ = trajectory.read_tum(fa)
+        t_o, p_o, _ = trajectory.read_tum(fb)
+        gt_t = np.array([i * 0.1 for i in range(len(poses))])
+        gt_p = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in poses])
+        ate_o, _ = trajectory.ate_rmse(t_o, p_o, gt_t, gt_p)
+        assert ate_o < 0.15, ate_o
+        ate_pair, n = trajectory.ate_rmse(t_o, p_o, t_r, p_r)
+        assert n >= 10
+        assert ate_pair < 0.05, ate_pair
