@@ -64,10 +64,16 @@ def _ensure_ctx(tracker, m) -> dict:
     changes (or a cached point turned bad) — between keyframe events this is
     fully static, so steady-state frames skip both the host table walk and
     the device-side feature re-stack."""
-    n_kf = len(tracker.local_keyframes)
+    # canonical (id-sorted) slot order: update_local_keyframes rebuilds its
+    # list in vote order, which shuffles frame to frame even when the SET is
+    # unchanged — sorting keeps the cache key (and the compiled shapes)
+    # stable. Slot order only tie-breaks which KF proposes a shared pixel,
+    # the same float-accumulation-level divergence the fused paths accept.
+    local_kfs = sorted(tracker.local_keyframes, key=lambda kf: kf.id)
+    n_kf = len(local_kfs)
     ckey = (
-        tuple(kf.id for kf in tracker.local_keyframes),
-        tuple(kf.keypoint_map.version for kf in tracker.local_keyframes),
+        tuple(kf.id for kf in local_kfs),
+        tuple(kf.keypoint_map.version for kf in local_kfs),
         tracker.map.geometry_epoch,
     )
     ctx = getattr(tracker, "_fused_lm_ctx", None)
@@ -77,9 +83,7 @@ def _ensure_ctx(tracker, m) -> dict:
         return ctx
 
     nkcap = _pow2(n_kf, floor=4)
-    kfs = list(tracker.local_keyframes) + [tracker.local_keyframes[0]] * (
-        nkcap - n_kf
-    )
+    kfs = local_kfs + [local_kfs[0]] * (nkcap - n_kf)
     kf_items = [
         [
             (idx, it)
@@ -106,9 +110,15 @@ def _ensure_ctx(tracker, m) -> dict:
             kf_row[kslot, i] = row_of_base[id(it.map_point)]
     # mask padded keyframe slots entirely
     kf_row[n_kf:] = -1
-    kf_feats = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[m.features_for(kf) for kf in kfs]
-    )
+    stack_key = tuple(kf.id for kf in kfs)
+    stack_cache = getattr(tracker, "_fused_stack_cache", None)
+    if stack_cache is not None and stack_cache[0] == stack_key:
+        kf_feats = stack_cache[1]
+    else:
+        kf_feats = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[m.features_for(kf) for kf in kfs]
+        )
+        tracker._fused_stack_cache = (stack_key, kf_feats)
     # geometry tables over the row space, static until geometry_epoch
     # moves (position/normal writes bump it, map_model.py)
     nrows = len(mps_base)
@@ -227,7 +237,9 @@ def run(tracker) -> bool | None:
         keypoints1=cur_xy_i[okm],
         keypoints2=prev_xy[okm].astype(np.int32),
     )
-    tracker.create_current_match_image(res)
+    # has_mp per match straight from the device association (row >= 0 before
+    # dedup) — skips N get_map_point dict lookups in the renderer
+    tracker.create_current_match_image(res, has_mp=(row >= 0)[okm])
 
     if int(n_matches) < tracker.min_local_match_count:
         return None  # too few raw matches -> host ref-KF path
@@ -404,6 +416,9 @@ def run_steady(tracker) -> bool | None:
     cols = cur.keypoint_map.cols
     if not tracker.local_keyframes:
         return None
+    # fire the image upload FIRST: it is the largest per-frame transfer and
+    # travels the relay while the host builds tables below
+    img_d = jax.device_put(np.asarray(cur.image, np.float32))
     ctx = _ensure_ctx(tracker, m)
     rcap = ctx["rcap"]
     nrows = len(ctx["mps"])
@@ -413,29 +428,49 @@ def run_steady(tracker) -> bool | None:
     cur.keypoint_map.clear()
 
     prev_feats = m.features_for(tracker.last_frame)
-    prev_items = [
-        (idx, it)
-        for idx, it in tracker.last_frame.keypoint_map.items()
-        if it.map_point is not None
-    ]
     # prev associations in the ctx row space; points outside the window get
-    # extension rows past rcap (their positions ride the mp_pos upload)
+    # extension rows past rcap (their positions ride the mp_pos upload).
+    # Fast path: the previous steady frame saved its final association
+    # arrays — valid while the clone's KeyPointMap and the ctx are untouched.
     ext: list = []
-    ext_rows: dict = {}
-    mcap = _pow2(len(prev_items))
-    prev_px = np.full(mcap, -1, np.int32)
-    prev_row = np.full(mcap, -1, np.int32)
-    for i, (idx, it) in enumerate(prev_items):
-        mp = it.map_point
-        r = ctx["row_of"].get(id(mp))
-        if r is None:
-            r = ext_rows.get(id(mp))
+    saved = getattr(tracker, "_fused_prev_assoc", None)
+    if (
+        saved is not None
+        and saved["frame_id"] == tracker.last_frame.id
+        and saved["ctx"] is ctx
+        and saved["version"] == tracker.last_frame.keypoint_map.version
+    ):
+        # saved rows: >=0 are ctx rows; negative encode extension mps as
+        # -(ext_index + 1) into saved["ext"]
+        px_arr, row_arr = saved["px"], saved["row"]
+        ext = list(saved["ext"])
+        n_prev = px_arr.shape[0]
+        mcap = _pow2(n_prev)
+        prev_px = np.full(mcap, -1, np.int32)
+        prev_row = np.full(mcap, -1, np.int32)
+        prev_px[:n_prev] = px_arr
+        prev_row[:n_prev] = np.where(row_arr >= 0, row_arr, rcap - 1 - row_arr)
+    else:
+        prev_items = [
+            (idx, it)
+            for idx, it in tracker.last_frame.keypoint_map.items()
+            if it.map_point is not None
+        ]
+        ext_rows: dict = {}
+        mcap = _pow2(len(prev_items))
+        prev_px = np.full(mcap, -1, np.int32)
+        prev_row = np.full(mcap, -1, np.int32)
+        for i, (idx, it) in enumerate(prev_items):
+            mp = it.map_point
+            r = ctx["row_of"].get(id(mp))
             if r is None:
-                r = rcap + len(ext)
-                ext_rows[id(mp)] = r
-                ext.append(mp)
-        prev_px[i] = idx
-        prev_row[i] = r
+                r = ext_rows.get(id(mp))
+                if r is None:
+                    r = rcap + len(ext)
+                    ext_rows[id(mp)] = r
+                    ext.append(mp)
+            prev_px[i] = idx
+            prev_row[i] = r
     pcap = _pow2(rcap + len(ext))
     mp_pos = np.zeros((pcap, 3), np.float32)
     mp_pos[:nrows] = ctx["pos"]
@@ -443,7 +478,7 @@ def run_steady(tracker) -> bool | None:
         mp_pos[rcap + j] = mp.world_pos
 
     feats, packed_d = fused_tracking.steady_step(
-        jnp.asarray(cur.image, jnp.float32),
+        img_d,
         prev_feats,
         jnp.asarray(prev_px),
         jnp.asarray(prev_row),
@@ -456,11 +491,11 @@ def run_steady(tracker) -> bool | None:
         ctx["normal_d"],
         ctx["maxdist_d"],
         jnp.asarray(tracker.K, jnp.float32),
-        jnp.float32(m.threshold),
-        jnp.int32(cols),
-        jnp.float32(tracker.img_width),
-        jnp.float32(tracker.img_height),
-        jnp.bool_(tracker.octave_information),
+        float(m.threshold),
+        int(cols),
+        float(tracker.img_width),
+        float(tracker.img_height),
+        bool(tracker.octave_information),
         m.max_features,
         m.fast_threshold,
     )
@@ -500,7 +535,9 @@ def run_steady(tracker) -> bool | None:
         keypoints1=cur_xy_i[okm],
         keypoints2=prev_xy[okm].astype(np.int32),
     )
-    tracker.create_current_match_image(res)
+    # has_mp per match straight from the device association (row >= 0 before
+    # dedup) — skips N get_map_point dict lookups in the renderer
+    tracker.create_current_match_image(res, has_mp=(row >= 0)[okm])
 
     if n_matches < tracker.min_local_match_count:
         return None  # too few raw matches -> host ref-KF path
@@ -585,6 +622,27 @@ def run_steady(tracker) -> bool | None:
     # refresh the (one-frame-stale) window + reference KF for the keyframe
     # decision and the next frame's context
     tracker.update_local_keyframes()
+
+    # save the final association arrays: the next steady frame rebuilds its
+    # prev tables from them without walking the keypoint map (valid while
+    # the cloned map and the ctx stay untouched)
+    items = cur.keypoint_map._items
+    pairs = [(pix, sl) for pix, sl in slot_of_pixel.items() if pix in items]
+    if pairs:
+        px_arr = np.asarray([pp for pp, _ in pairs], np.int32)
+        s_arr = np.asarray([sl for _, sl in pairs], np.int64)
+        rw = np.where(new_row[s_arr] >= 0, new_row[s_arr], row[s_arr])
+        enc = np.where(rw >= rcap, -(rw - rcap) - 1, rw).astype(np.int32)
+        tracker._fused_prev_assoc = {
+            "frame_id": cur.id,
+            "ctx": ctx,
+            "version": 0,  # the clone's KeyPointMap starts at version 0
+            "px": px_arr,
+            "row": enc,
+            "ext": ext,
+        }
+    else:
+        tracker._fused_prev_assoc = None
 
     coeff = tracker.n_matches_inliers / max(tracker.min_local_match_count, 1)
     tracker._log(

@@ -264,9 +264,15 @@ def local_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_features", "fast_threshold"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ratio", "cols", "width", "height", "use_octave_info",
+        "max_features", "fast_threshold",
+    ),
+)
 def steady_step(
-    img,
+    img,  # [H,W] f32 (or u8; cast on device — the upload is 4x smaller)
     prev_feats: orb.Features,
     prev_px,  # i32 [M] pixel index of last-frame associations
     prev_row,  # i32 [M] row into mp_pos (-1 = padding)
@@ -279,11 +285,11 @@ def steady_step(
     ctx_normal,  # f32 [R,3] viewing normals over ctx rows
     ctx_maxdist,  # f32 [R]
     K,
-    ratio,
-    cols: jnp.int32,
-    width: jnp.float32,
-    height: jnp.float32,
-    use_octave_info,
+    ratio: float,
+    cols: int,
+    width: float,
+    height: float,
+    use_octave_info: bool,
     max_features: int,
     fast_threshold: float,
 ):
@@ -299,6 +305,7 @@ def steady_step(
     row/keep/inlier1/idx2/ok/xy_x/xy_y/octave, then T2 (16), n_good2 (1),
     new_row (K), inlier2 (K), vis (R).
     """
+    img = jnp.asarray(img, jnp.float32)
     cur, T1, row, keep, inlier, n_good, idx2, ok = _motion_core(
         img, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
         use_octave_info, max_features, fast_threshold,

@@ -385,10 +385,15 @@ class Tracking:
     # ------------------------------------------------------------------
     def check_replaced_in_last_frame(self) -> None:
         """Heal fused map-point pointers (Tracking.cc:365-378)."""
+        healed = 0
         for _, item in self.last_frame.keypoint_map.items():
             mp = item.map_point
             if mp is not None and mp.replaced_by is not None:
                 item.map_point = mp.replaced_by
+                healed += 1
+        if healed:
+            # structural change: invalidate version-keyed caches
+            self.last_frame.keypoint_map.version += 1
 
     def _associate_and_optimize(self, match_result) -> int | None:
         """Shared body of TrackReferenceKeyFrame / TrackWithMotionModel:
@@ -736,7 +741,8 @@ class Tracking:
             self.matcher.drop_frame_cache()
 
     # ------------------------------------------------------------------
-    def create_current_match_image(self, match_result) -> None:
+    def create_current_match_image(self, match_result, has_mp=None) -> None:
         """Side-by-side match rendering (Tracking.cc:899-940, quirk B6: always
-        rebuilt; part of the public API via GetCurrentMatchImage)."""
-        self.current_match_image = render_match_image(match_result)
+        rebuilt; part of the public API via GetCurrentMatchImage). `has_mp`
+        lets device-side callers skip the per-match map lookups."""
+        self.current_match_image = render_match_image(match_result, has_mp)

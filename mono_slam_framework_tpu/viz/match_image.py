@@ -40,8 +40,11 @@ def _draw_circles(canvas: np.ndarray, pts: np.ndarray, color) -> None:
     canvas[ys[ok], xs[ok]] = color
 
 
-def render_match_image(match_result) -> np.ndarray:
-    """[H, 2W, 3] uint8 side-by-side visualization of a MatchFramesResult."""
+def render_match_image(match_result, has_mp=None) -> np.ndarray:
+    """[H, 2W, 3] uint8 side-by-side visualization of a MatchFramesResult.
+
+    `has_mp` (bool [num_matches], optional) pre-classifies matches; when
+    omitted it is derived through the per-match map lookups."""
     img1 = _to_u8(match_result.frame1.image)
     img2 = _to_u8(match_result.frame2.image)
     h, w = img1.shape
@@ -51,12 +54,15 @@ def render_match_image(match_result) -> np.ndarray:
 
     n = match_result.num_matches
     if n:
-        has_mp = np.zeros(n, bool)
-        for i in range(n):
-            has_mp[i] = (
-                match_result.get_map_point1(i) is not None
-                or match_result.get_map_point2(i) is not None
-            )
+        if has_mp is None:
+            has_mp = np.zeros(n, bool)
+            for i in range(n):
+                has_mp[i] = (
+                    match_result.get_map_point1(i) is not None
+                    or match_result.get_map_point2(i) is not None
+                )
+        else:
+            has_mp = np.asarray(has_mp, bool)
         kp1 = match_result.keypoints1
         kp2 = match_result.keypoints2.copy()
         kp2[:, 0] += w
