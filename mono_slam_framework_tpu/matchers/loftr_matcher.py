@@ -49,6 +49,7 @@ class LoftrFeatureMatcher(FeatureMatcher):
         threshold: float = 0.1,
         max_matches: int = 1024,
         cache_size: int = 512,
+        fine: bool = False,
     ):
         import collections
 
@@ -56,9 +57,17 @@ class LoftrFeatureMatcher(FeatureMatcher):
         self.threshold = float(threshold)
         self.max_matches = int(max_matches)
         self.cache_size = int(cache_size)
+        # Optional training-free fine stage (loftr_native.fine_refine): the
+        # reference model is coarse-only, 16 px cells; this sharpens match_
+        # frames coordinates to subpixel via /4-feature correlation. Quality
+        # extension beyond the reference — off by default.
+        self.fine = bool(fine)
         # frame id -> ([1, L, C] device features, (sx, sy) image/model scale);
         # LRU-bounded like the ORB feature cache (153 KB per entry on device)
         self._feat_cache: "collections.OrderedDict" = collections.OrderedDict()
+        # fine maps are ~1.2 MB each -> small separate LRU (pairwise
+        # match_frames only; DB scans stay coarse)
+        self._fine_cache: "collections.OrderedDict" = collections.OrderedDict()
 
     def _frame_key(self, frame):
         return getattr(frame, "matcher_key", None) or id(frame)
@@ -88,8 +97,35 @@ class LoftrFeatureMatcher(FeatureMatcher):
     def drop_frame_cache(self, frame_id=None) -> None:
         if frame_id is None:
             self._feat_cache.clear()
+            self._fine_cache.clear()
         else:
             self._feat_cache.pop(frame_id, None)
+            self._fine_cache.pop(frame_id, None)
+
+    def _fine_map(self, frame):
+        """[16,H/4,W/4] device fine features for a frame (small LRU)."""
+        key = self._frame_key(frame)
+        hit = self._fine_cache.get(key)
+        if hit is not None:
+            self._fine_cache.move_to_end(key)
+            return hit
+        import jax.numpy as jnp
+
+        img = np.asarray(frame.image, np.float32)
+        h, w = img.shape
+        dev = jnp.asarray(img)
+        if (h, w) != (MODEL_H, MODEL_W):
+            import jax.image
+
+            dev = jax.image.resize(dev, (MODEL_H, MODEL_W), "bilinear")
+        _, fine = loftr_native.encode_with_fine(
+            self.params, (dev / 255.0)[None, None]
+        )
+        fine = fine[0]
+        self._fine_cache[key] = fine
+        if len(self._fine_cache) > 8:
+            self._fine_cache.popitem(last=False)
+        return fine
 
     def _decode_result(self, frame1, frame2, vals, idx, scale1, scale2):
         vals = np.asarray(vals)
@@ -107,7 +143,29 @@ class LoftrFeatureMatcher(FeatureMatcher):
         vals, idx = loftr_native.match_features_topk(
             self.params, f0, f1, self.max_matches
         )
-        return self._decode_result(frame1, frame2, vals[0], idx[0], scale1, scale2)
+        res = self._decode_result(frame1, frame2, vals[0], idx[0], scale1, scale2)
+        if self.fine and res.num_matches:
+            vals_h = np.asarray(vals[0])
+            idx_h = np.asarray(idx[0])
+            offs = np.asarray(
+                loftr_native.fine_refine(
+                    self._fine_map(frame1),
+                    self._fine_map(frame2),
+                    (idx_h // L).astype(np.int32),
+                    (idx_h - (idx_h // L) * L).astype(np.int32),
+                    GRID_W,
+                )
+            )[vals_h > self.threshold]
+            h2, w2 = np.asarray(frame2.image).shape
+            kp2f = res.keypoints2.astype(np.float32)
+            kp2f[:, 0] += offs[:, 0] * float(scale2[0])
+            kp2f[:, 1] += offs[:, 1] * float(scale2[1])
+            kp2f[:, 0] = np.clip(kp2f[:, 0], 0, w2 - 1)
+            kp2f[:, 1] = np.clip(kp2f[:, 1], 0, h2 - 1)
+            res.keypoints2_f = kp2f
+            # the integer contract keeps truncation (featurematcher.cpp:33-38)
+            res.keypoints2 = kp2f.astype(np.int32)
+        return res
 
     def match_against_many(self, frame, others):
         """One batched device call for a database scan (see module docstring)."""

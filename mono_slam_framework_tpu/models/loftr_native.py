@@ -95,18 +95,29 @@ def _block(p, prefix, x, stride=1):
     return jax.nn.relu(x + y)
 
 
-def backbone(params: dict, img: jnp.ndarray) -> jnp.ndarray:
-    """[B,1,H,W] float in [0,1] -> [B,C,H/16,W/16] coarse feature map."""
+def _backbone_trunk(params: dict, img: jnp.ndarray):
+    """Shared trunk: returns (coarse [B,C,H/16,W/16], fine [B,16,H/4,W/4]).
+
+    The /4 layer2 activation doubles as a training-free FINE feature map for
+    subpixel match refinement (`fine_refine`) — the exported teacher is
+    coarse-only (dnnfeaturematcher.cpp decodes 16 px cells), so this is an
+    optional quality extension, not a reference behavior."""
     x = jax.nn.relu(_conv(img, params["backbone/conv1/w"], params["backbone/conv1/b"], 2))
     x = _block(params, "backbone/layer1/block0", x)
     x = _block(params, "backbone/layer1/block1", x)
     x = _block(params, "backbone/layer2/block0", x, 2)
     x = _block(params, "backbone/layer2/block1", x)
+    fine = x
     x = _block(params, "backbone/layer3/block0", x, 2)
     x = _block(params, "backbone/layer3/block1", x)
     x = _block(params, "backbone/layer4/block0", x, 2)
     x = _block(params, "backbone/layer4/block1", x)
-    return _conv(x, params["backbone/outconv/w"], pad=(0, 0))
+    return _conv(x, params["backbone/outconv/w"], pad=(0, 0)), fine
+
+
+def backbone(params: dict, img: jnp.ndarray) -> jnp.ndarray:
+    """[B,1,H,W] float in [0,1] -> [B,C,H/16,W/16] coarse feature map."""
+    return _backbone_trunk(params, img)[0]
 
 
 def encode(params: dict, img: jnp.ndarray) -> jnp.ndarray:
@@ -210,3 +221,55 @@ def match_one_against_many(params, f_query, f_stack, max_matches: int):
 
     vals, idx = jax.vmap(one)(f_stack)
     return vals[:, 0], idx[:, 0]
+
+
+def encode_with_fine(params: dict, img: jnp.ndarray):
+    """encode() + the /4 fine feature map: [B,1,H,W] -> ([B,L,C], [B,16,H/4,W/4])."""
+    fmap, fine = _backbone_trunk(params, img)
+    b, c, h, w = fmap.shape
+    fmap = fmap + positional_encoding(h, w, c)[None]
+    return fmap.reshape(b, c, h * w).transpose(0, 2, 1), fine
+
+
+@functools.partial(jax.jit, static_argnames=("grid_w", "window"))
+def fine_refine(
+    fine0,  # [F,H4,W4] /4 features of image 0
+    fine1,  # [F,H4,W4] /4 features of image 1
+    cell0,  # i32 [K] flat cell ids (row-major /16 grid) in image 0
+    cell1,  # i32 [K] flat cell ids in image 1
+    grid_w: int = 40,
+    window: int = 5,
+):
+    """Training-free subpixel refinement of coarse cell matches.
+
+    Correlates the /4 backbone descriptor at each image-0 cell corner against
+    a window x window /4-texel neighborhood around the image-1 cell corner
+    and takes the correlation soft-argmax. Returns the refined image-1 match
+    offsets [K,2] in MODEL pixels (add to the 16*cell corner decode); offsets
+    stay within the coarse cell (window=5 -> +-2 texels = +-8 px).
+    """
+    F, H4, W4 = fine0.shape
+    r = window // 2
+    y0 = (cell0 // grid_w) * 4
+    x0 = (cell0 % grid_w) * 4
+    y1 = (cell1 // grid_w) * 4
+    x1 = (cell1 % grid_w) * 4
+
+    d0 = fine0[:, jnp.clip(y0, 0, H4 - 1), jnp.clip(x0, 0, W4 - 1)].T  # [K,F]
+    d0 = d0 / (jnp.linalg.norm(d0, axis=-1, keepdims=True) + 1e-6)
+
+    off = jnp.arange(-r, r + 1)
+    dy, dx = jnp.meshgrid(off, off, indexing="ij")  # [w,w]
+    dy = dy.ravel()
+    dx = dx.ravel()  # [w*w]
+    ys = jnp.clip(y1[:, None] + dy[None, :], 0, H4 - 1)  # [K,w*w]
+    xs = jnp.clip(x1[:, None] + dx[None, :], 0, W4 - 1)
+    patches = fine1[:, ys, xs].transpose(1, 2, 0)  # [K,w*w,F]
+    patches = patches / (
+        jnp.linalg.norm(patches, axis=-1, keepdims=True) + 1e-6
+    )
+    scores = jnp.einsum("kf,kwf->kw", d0, patches)  # [K,w*w] in [-1,1]
+    w_soft = jax.nn.softmax(scores / 0.1, axis=-1)
+    ox = jnp.sum(w_soft * dx[None, :].astype(jnp.float32), axis=-1)
+    oy = jnp.sum(w_soft * dy[None, :].astype(jnp.float32), axis=-1)
+    return jnp.stack([ox, oy], axis=-1) * 4.0  # /4 texels -> model pixels

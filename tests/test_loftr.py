@@ -169,3 +169,39 @@ class TestLoftrMatcher:
         assert len(m._feat_cache) == 1
         m.drop_frame_cache()
         assert not m._feat_cache
+
+
+class TestFineRefine:
+    def test_subpixel_shift_recovered(self, rendered_pair):
+        """A 6 px pure image shift: coarse decode quantizes to 16 px cells
+        (error ~6 px); the training-free fine stage should recover most of
+        the fractional-cell shift."""
+        from mono_slam_framework_tpu.matchers.loftr_matcher import (
+            LoftrFeatureMatcher,
+        )
+
+        a, _ = rendered_pair
+        shift = 6
+        b = np.roll(a, -shift, axis=1)  # content moves -x by 6 px
+
+        coarse = LoftrFeatureMatcher(threshold=0.15)
+        fine = LoftrFeatureMatcher(threshold=0.15, fine=True)
+        rc = coarse.match_frames(_F(0, a), _F(1, b))
+        rf = fine.match_frames(_F(0, a), _F(1, b))
+        assert rf.num_matches == rc.num_matches > 10
+
+        # true correspondence: x2 = x1 - shift (borders excluded)
+        def med_err(res, kp2):
+            x1 = res.keypoints1[:, 0].astype(np.float32)
+            inner = (x1 > 32) & (x1 < 640 - 32)
+            return np.median(np.abs((x1[inner] - shift) - kp2[inner, 0]))
+
+        e_coarse = med_err(rc, rc.keypoints2.astype(np.float32))
+        e_fine = med_err(rf, rf.kp2_f)
+        assert e_fine < e_coarse, (e_fine, e_coarse)
+        assert e_fine < 3.0, e_fine
+        # offsets stay inside the coarse cell
+        d = rf.kp2_f - rc.keypoints2.astype(np.float32)
+        assert np.abs(d).max() <= 8.0 + 1e-3
+        # y untouched by a pure-x shift (allow small correlation noise)
+        assert np.median(np.abs(rf.kp2_f[:, 1] - rc.keypoints2[:, 1])) < 2.0
