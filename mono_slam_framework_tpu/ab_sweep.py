@@ -27,11 +27,15 @@ def run_one(matcher_name: str, args) -> dict:
     from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
 
     matcher = build_matcher(matcher_name, args)
+    fused = bool(getattr(args, "fused", False) or getattr(args, "fused_one_step", False))
     params = SlamParameters(
         fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy,
         max_features=args.features,
         minIniMatchCount=args.min_ini_matches,
         initializerModelFallback=getattr(args, "model_fallback", False),
+        fusedTracking=fused and matcher_name == "orb",
+        fusedOneStep=bool(getattr(args, "fused_one_step", False))
+        and matcher_name == "orb",
     )
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
 
@@ -136,6 +140,10 @@ def main(argv=None):
     p.add_argument("--ratio", type=float, default=0.6)
     p.add_argument("--min-ini-matches", type=int, default=100)
     p.add_argument("--model-fallback", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="fused steady-state tracking for the ORB matcher")
+    p.add_argument("--fused-one-step", action="store_true",
+                   help="one-program steady tracking (implies --fused; ORB only)")
     p.add_argument("--loftr-model", default=None,
                    help="override weights npz (default: repo checkpoint)")
     p.add_argument("--loftr-threshold", type=float, default=0.1)

@@ -87,6 +87,15 @@ class KeyPointMap:
     def set_map_point_by_index(self, index: int, map_point) -> None:
         self.set_map_point(self.keypoint_from_index(index), map_point)
 
+    def bulk_set_map_points(self, indices, map_points, measurements, infos) -> None:
+        """Vectorized SetMapPoint over precomputed pixel indices (the fused
+        replay path: coordinates already validated on device, pixel
+        uniqueness already resolved). One version bump for the batch."""
+        items = self._items
+        for idx, mp, meas, info in zip(indices, map_points, measurements, infos):
+            items[idx] = MapPointItem(mp, measurement=meas, info=info)
+        self.version += 1
+
     def measurement_at(self, index: int):
         """Float measurement for an association (defaults to the pixel key)."""
         item = self._items.get(index)

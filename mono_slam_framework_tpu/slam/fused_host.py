@@ -57,6 +57,16 @@ def _row_tables(mp_lists):
 
 
 
+
+def _k_dev(tracker):
+    """Device-resident intrinsics (uploaded once per tracker)."""
+    k = getattr(tracker, "_fused_K_dev", None)
+    if k is None:
+        k = jnp.asarray(tracker.K, jnp.float32)
+        tracker._fused_K_dev = k
+    return k
+
+
 def _ensure_ctx(tracker, m) -> dict:
     """Local-map device context: stacked KF features + association tables +
     the KF-side row space + geometry tables. Rebuilt only when the local-KF
@@ -490,7 +500,7 @@ def run_steady(tracker) -> bool | None:
         ctx["first_slot_d"],
         ctx["normal_d"],
         ctx["maxdist_d"],
-        jnp.asarray(tracker.K, jnp.float32),
+        _k_dev(tracker),
         float(m.threshold),
         int(cols),
         float(tracker.img_width),
@@ -545,28 +555,27 @@ def run_steady(tracker) -> bool | None:
     def mp_of_row(r: int):
         return ctx["mps"][r] if r < nrows else ext[r - rcap]
 
-    info_of = (
-        (lambda o: float(1.2 ** (-2.0 * o)))
+    info_arr = (
+        (1.2 ** (-2.0 * cur_oct.astype(np.float64)))
         if tracker.octave_information
-        else (lambda o: 1.0)
+        else np.ones(k_slots)
     )
-    # motion association replay (last-writer-wins resolved on device)
-    slot_of_pixel: dict[int, int] = {}
-    n_matches_map = 0
-    for s in np.nonzero(keep)[0]:
-        mp = mp_of_row(row[s])
-        if inlier[s]:
-            px = (int(cur_xy_i[s, 0]), int(cur_xy_i[s, 1]))
-            cur.keypoint_map.set_map_point(
-                px, mp,
-                measurement=(float(cur_xy_f[s, 0]), float(cur_xy_f[s, 1])),
-                info=info_of(int(cur_oct[s])),
-            )
-            slot_of_pixel[cur.keypoint_map.index_of(px)] = int(s)
-            if mp.n_obs > 0:
-                n_matches_map += 1
-        else:
-            mp.last_frame_seen = cur.id
+    # motion association replay (last-writer-wins and bounds already
+    # resolved on device; pixel indices computed vectorized)
+    kept = np.nonzero(keep)[0]
+    inl_s = kept[inlier[kept]]
+    for s in kept[~inlier[kept]]:
+        mp_of_row(row[s]).last_frame_seen = cur.id
+    idxs = (cur_xy_i[inl_s, 1] * cols + cur_xy_i[inl_s, 0]).tolist()
+    mps_in = [mp_of_row(r) for r in row[inl_s]]
+    cur.keypoint_map.bulk_set_map_points(
+        idxs,
+        mps_in,
+        list(zip(cur_xy_f[inl_s, 0].tolist(), cur_xy_f[inl_s, 1].tolist())),
+        info_arr[inl_s].tolist(),
+    )
+    slot_of_pixel: dict[int, int] = dict(zip(idxs, inl_s.tolist()))
+    n_matches_map = sum(1 for mp in mps_in if mp.n_obs > 0)
     cur.set_pose(T1)
 
     if n_matches_map < 10:
@@ -595,15 +604,15 @@ def run_steady(tracker) -> bool | None:
 
     # replay new associations (first-wins resolved on device; rows are
     # always ctx rows — only the KF tables propose)
-    for s in np.nonzero(new_row >= 0)[0]:
-        mp = ctx["mps"][new_row[s]]
-        px = (int(cur_xy_i[s, 0]), int(cur_xy_i[s, 1]))
-        cur.keypoint_map.set_map_point(
-            px, mp,
-            measurement=(float(cur_xy_f[s, 0]), float(cur_xy_f[s, 1])),
-            info=info_of(int(cur_oct[s])),
-        )
-        slot_of_pixel[cur.keypoint_map.index_of(px)] = int(s)
+    ns = np.nonzero(new_row >= 0)[0]
+    idxs2 = (cur_xy_i[ns, 1] * cols + cur_xy_i[ns, 0]).tolist()
+    cur.keypoint_map.bulk_set_map_points(
+        idxs2,
+        [ctx["mps"][r] for r in new_row[ns]],
+        list(zip(cur_xy_f[ns, 0].tolist(), cur_xy_f[ns, 1].tolist())),
+        info_arr[ns].tolist(),
+    )
+    slot_of_pixel.update(zip(idxs2, ns.tolist()))
 
     cur.set_pose(T2)
 

@@ -138,6 +138,10 @@ class Tracking:
         self.minimum_keyframes = n
 
     def get_current_match_image(self):
+        pending = getattr(self, "_match_image_pending", None)
+        if pending is not None:
+            self._match_image_pending = None
+            self.current_match_image = render_match_image(*pending)
         return self.current_match_image
 
     # ------------------------------------------------------------------
@@ -744,5 +748,12 @@ class Tracking:
     def create_current_match_image(self, match_result, has_mp=None) -> None:
         """Side-by-side match rendering (Tracking.cc:899-940, quirk B6: always
         rebuilt; part of the public API via GetCurrentMatchImage). `has_mp`
-        lets device-side callers skip the per-match map lookups."""
-        self.current_match_image = render_match_image(match_result, has_mp)
+        lets device-side callers skip the per-match map lookups — and since
+        it freezes the match classification at creation time, the pixel
+        drawing itself defers to the first GetCurrentMatchImage query
+        (identical output; the frame images are immutable)."""
+        if has_mp is None:
+            self._match_image_pending = None
+            self.current_match_image = render_match_image(match_result)
+        else:
+            self._match_image_pending = (match_result, has_mp)
