@@ -94,6 +94,7 @@ def main():
     fps = (N_FRAMES - 1) / dt
 
     e2e = bench_end_to_end()
+    e2e.update(bench_steady_device())
     out = {
         "metric": f"tracking_fps_per_chip_{MAXF}feat",
         "value": round(fps, 2),
@@ -102,6 +103,68 @@ def main():
     }
     out.update(e2e)
     print(json.dumps(out))
+
+
+def bench_steady_device():
+    """Device-only throughput of the FULL one-step tracking program
+    (fused_tracking.steady_step: extract + match-vs-last + associate +
+    pose LM + frustum + 8-KF local matching + pose LM) at the north-star
+    operating point: 640x480, 2000 features. This is the per-chip tracking
+    capability with the host and relay out of the loop."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mono_slam_framework_tpu.ops import orb
+    from mono_slam_framework_tpu.slam import fused_tracking
+
+    H, W = 480, 640
+    MAXF = 2000
+    rng = np.random.default_rng(1)
+    base = np.kron(
+        rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32), np.ones((8, 8))
+    )
+    imgs = [
+        jnp.asarray(np.roll(base, 3 * i, axis=1), jnp.float32) for i in range(50)
+    ]
+    prev_feats = orb.extract(imgs[0], MAXF)
+    mcap, rcap, pcap, nk, mcap2 = 1024, 1024, 1024, 8, 1024
+    prev_px = jnp.asarray(rng.integers(0, H * W, mcap), jnp.int32)
+    prev_row = jnp.asarray(rng.integers(0, 700, mcap), jnp.int32)
+    mp_pos = jnp.asarray(rng.uniform(-2, 2, (pcap, 3)) + [0, 0, 6], jnp.float32)
+    T_init = jnp.eye(4, dtype=jnp.float32)
+    kf_feats = jax.tree.map(lambda *xs: jnp.stack(xs), *([prev_feats] * nk))
+    kf_px = jnp.asarray(rng.integers(0, H * W, (nk, mcap2)), jnp.int32)
+    kf_row = jnp.asarray(rng.integers(0, 700, (nk, mcap2)), jnp.int32)
+    first_slot = jnp.asarray(rng.integers(0, nk, rcap), jnp.int32)
+    nrm = jnp.asarray(rng.normal(size=(rcap, 3)), jnp.float32)
+    maxd = jnp.asarray(rng.uniform(1, 10, rcap), jnp.float32)
+    Km = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], jnp.float32)
+
+    def call(img):
+        return fused_tracking.steady_step(
+            img, prev_feats, prev_px, prev_row, mp_pos, T_init,
+            kf_feats, kf_px, kf_row, first_slot, nrm, maxd, Km,
+            0.7, W, float(W), float(H), True, MAXF, 20.0,
+        )
+
+    _, pk = call(imgs[0])
+    # a forcing readback, not block_until_ready: the latter does not reliably
+    # wait through the axon relay, which would leak compile time into t0
+    float(jnp.sum(pk))
+    t0 = time.perf_counter()
+    for i in range(50):
+        _, pk = call(imgs[i])
+    # one readback drains the async chain (block_until_ready is unreliable
+    # through the axon relay)
+    float(jnp.sum(pk))
+    dt = time.perf_counter() - t0
+    fps = 50 / dt
+    return {
+        "steady_device_fps_2000feat": round(fps, 1),
+        "steady_device_vs_baseline": round(fps / 60.0, 3),
+    }
 
 
 def _bench_system(fused: bool, one_step: bool = False):
