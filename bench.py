@@ -167,7 +167,7 @@ def bench_steady_device():
     }
 
 
-def _bench_system(fused: bool, one_step: bool = False):
+def _bench_system(fused: bool, one_step: bool = False, pipelined: bool = False):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
     (System.cc:63-75 per-frame superloop), steady state after initialization.
@@ -204,14 +204,19 @@ def _bench_system(fused: bool, one_step: bool = False):
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
     system.toggle_initialization_allowed()
 
+    track = (
+        system.track_monocular_pipelined if pipelined else system.track_monocular
+    )
     for i in range(N_WARM):
-        system.track_monocular(images[i], timestamp=i * 0.1)
+        track(images[i], timestamp=i * 0.1)
 
     if hasattr(system, "timer") and system.timer is not None:
         system.timer.reset()
     t0 = time.perf_counter()
     for i in range(N_WARM, N_WARM + N_TIMED):
-        system.track_monocular(images[i], timestamp=i * 0.1)
+        track(images[i], timestamp=i * 0.1)
+    if pipelined:
+        system.flush_pipeline()
     dt = time.perf_counter() - t0
 
     stages = {}
@@ -227,6 +232,7 @@ def bench_end_to_end():
     fps_ref, stages_ref = _bench_system(fused=False)
     fps_fused, stages_fused = _bench_system(fused=True)
     fps_one, stages_one = _bench_system(fused=True, one_step=True)
+    fps_pipe, _ = _bench_system(fused=True, one_step=True, pipelined=True)
     return {
         "e2e_fps_2000feat": fps_ref,
         "e2e_vs_baseline": round(fps_ref / 60.0, 3),
@@ -237,6 +243,8 @@ def bench_end_to_end():
         "e2e_onestep_fps_2000feat": fps_one,
         "e2e_onestep_vs_baseline": round(fps_one / 60.0, 3),
         "e2e_onestep_stage_ms": stages_one,
+        "e2e_pipelined_fps_2000feat": fps_pipe,
+        "e2e_pipelined_vs_baseline": round(fps_pipe / 60.0, 3),
     }
 
 

@@ -87,6 +87,13 @@ def main(argv=None):
         "window; fused_tracking.steady_step)",
     )
     p.add_argument(
+        "--pipelined",
+        action="store_true",
+        help="with --fused-one-step: speculative chained dispatch — device "
+        "compute and readback overlap the next frame (one-frame metric "
+        "latency; System.track_monocular_pipelined)",
+    )
+    p.add_argument(
         "--reloc-cooldown-inlier-floor",
         type=int,
         default=0,
@@ -135,8 +142,8 @@ def main(argv=None):
         minIniMatchCount=args.min_ini_matches,
         initializerModelFallback=args.model_fallback,
         relocCooldownInlierFloor=args.reloc_cooldown_inlier_floor,
-        fusedTracking=args.fused or args.fused_one_step,
-        fusedOneStep=args.fused_one_step,
+        fusedTracking=args.fused or args.fused_one_step or args.pipelined,
+        fusedOneStep=args.fused_one_step or args.pipelined,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet
@@ -154,12 +161,17 @@ def main(argv=None):
         if n == args.init_frame:
             system.toggle_initialization_allowed()
         image = gamma(frame.image) if gamma is not None else frame.image
-        system.track_monocular(image, frame.timestamp)
+        if args.pipelined:
+            system.track_monocular_pipelined(image, frame.timestamp)
+        else:
+            system.track_monocular(image, frame.timestamp)
         n += 1
         if not args.quiet and n % 25 == 0:
             print(f"[{n}] {system.last_metrics}")
         if args.max_frames and n >= args.max_frames:
             break
+    if args.pipelined:
+        system.flush_pipeline()
     wall = time.perf_counter() - t_start
 
     system.save_keyframe_trajectory_tum(args.out)

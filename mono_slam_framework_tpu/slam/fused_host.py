@@ -426,6 +426,37 @@ def run_steady(tracker) -> bool | None:
     cols = cur.keypoint_map.cols
     if not tracker.local_keyframes:
         return None
+
+    # speculative-dispatch consumption (track_monocular_pipelined): this
+    # frame's device program may already be in flight, dispatched right
+    # after the previous frame completed (dispatch_steady_spec). Valid only
+    # while nothing touched the map state since: same ctx object, same
+    # last frame, untouched clone.
+    spec = getattr(tracker, "_pipe_spec", None)
+    tracker._pipe_spec = None
+    if spec is not None:
+        ctx = _ensure_ctx(tracker, m)
+        if not (
+            spec["prev_frame_id"] == tracker.last_frame.id
+            and spec["ctx"] is ctx
+            and tracker.last_frame.keypoint_map.version == 0
+        ):
+            spec = None
+    if spec is not None:
+        rcap = ctx["rcap"]
+        nrows = len(ctx["mps"])
+        tracker.update_last_frame()
+        cur.keypoint_map.clear()
+        prev_feats = m.features_for(tracker.last_frame)
+        ext = spec["ext"]
+        feats, packed_d = spec["feats"], spec["packed_d"]
+        chain_px_d, chain_row_d, T2_d = spec["chain"]
+        tracker._pipe_spec_hits = getattr(tracker, "_pipe_spec_hits", 0) + 1
+        return _replay_steady(
+            tracker, m, cur, cols, ctx, rcap, nrows, ext, prev_feats,
+            feats, packed_d, (chain_px_d, chain_row_d, T2_d),
+        )
+
     # fire the image upload FIRST: it is the largest per-frame transfer and
     # travels the relay while the host builds tables below
     img_d = jax.device_put(np.asarray(cur.image, np.float32))
@@ -487,7 +518,7 @@ def run_steady(tracker) -> bool | None:
     for j, mp in enumerate(ext):
         mp_pos[rcap + j] = mp.world_pos
 
-    feats, packed_d = fused_tracking.steady_step(
+    feats, packed_d, chain_px_d, chain_row_d, T2_d = fused_tracking.steady_step(
         img_d,
         prev_feats,
         jnp.asarray(prev_px),
@@ -509,6 +540,18 @@ def run_steady(tracker) -> bool | None:
         m.max_features,
         m.fast_threshold,
     )
+    return _replay_steady(
+        tracker, m, cur, cols, ctx, rcap, nrows, ext, prev_feats,
+        feats, packed_d, (chain_px_d, chain_row_d, T2_d),
+    )
+
+
+def _replay_steady(
+    tracker, m, cur, cols, ctx, rcap, nrows, ext, prev_feats,
+    feats, packed_d, chain,
+):
+    """Readback + full host replay of a steady_step result (shared by the
+    direct and speculative-dispatch paths)."""
     m.seed_cache(cur, feats)
 
     # THE one readback of the frame
@@ -550,6 +593,7 @@ def run_steady(tracker) -> bool | None:
     tracker.create_current_match_image(res, has_mp=(row >= 0)[okm])
 
     if n_matches < tracker.min_local_match_count:
+        tracker._fused_chain = None
         return None  # too few raw matches -> host ref-KF path
 
     def mp_of_row(r: int):
@@ -579,6 +623,7 @@ def run_steady(tracker) -> bool | None:
     cur.set_pose(T1)
 
     if n_matches_map < 10:
+        tracker._fused_chain = None
         return None  # motion-model failed -> host ref-KF path
 
     # visible/seen bookkeeping for associated points (Tracking.cc:577-588)
@@ -653,8 +698,106 @@ def run_steady(tracker) -> bool | None:
     else:
         tracker._fused_prev_assoc = None
 
+    # device-resident chain for the NEXT frame's speculative dispatch:
+    # this frame's final associations + pose stay on device; the previous
+    # frame's (re-anchored) pose rides along for the velocity model
+    ok_final = tracker.n_matches_inliers >= tracker.min_local_match_count
+    if ok_final:
+        tracker._fused_chain = {
+            "frame_id": cur.id,
+            # the chain's row values live in THIS ctx's row space (+ ext
+            # offsets past rcap); a dispatch may only consume them under
+            # the identical ctx object
+            "ctx": ctx,
+            "ext": ext,
+            "chain": chain,
+            "T_prev_host": np.array(tracker.last_frame.Tcw, np.float32),
+        }
+    else:
+        tracker._fused_chain = None
+
     coeff = tracker.n_matches_inliers / max(tracker.min_local_match_count, 1)
     tracker._log(
         f"Tracking coefficient - {coeff}, if < 1.0 then tracking will be lost."
     )
-    return tracker.n_matches_inliers >= tracker.min_local_match_count
+    return ok_final
+
+
+def dispatch_steady_spec(tracker, image) -> dict | None:
+    """Speculatively dispatch the NEXT frame's steady program from the last
+    completed frame's device-resident chain state (track_monocular_pipelined).
+
+    Called right after a frame finishes processing, with the next image in
+    hand: the device program (and its async device->host result copy) runs
+    while the caller produces/fetches the following frame, hiding both the
+    compute and the readback round trip. The consumption side
+    (run_steady's spec branch) re-validates that nothing touched the map
+    state in between and falls back to a fresh dispatch otherwise.
+    """
+    from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
+
+    m = tracker.matcher
+    ch = getattr(tracker, "_fused_chain", None)
+    if (
+        ch is None
+        or not getattr(tracker.params, "fusedOneStep", False)
+        or not isinstance(m, OrbFeatureMatcher)
+        or tracker.last_frame is None
+        or ch["frame_id"] != tracker.last_frame.id
+        or tracker.velocity is None
+        or not tracker.local_keyframes
+    ):
+        return None
+    ctx = _ensure_ctx(tracker, m)
+    if ctx is not ch["ctx"]:
+        return None  # window/geometry changed; chain rows are stale
+    rcap = ctx["rcap"]
+    nrows = len(ctx["mps"])
+    ext = ch["ext"]
+
+    img_d = jax.device_put(np.asarray(image, np.float32))
+    prev_feats = m.features_for(tracker.last_frame)
+    chain_px_d, chain_row_d, T2_d = ch["chain"]
+    T_init_d = fused_tracking.chain_T_init(
+        T2_d, jnp.asarray(ch["T_prev_host"])
+    )
+
+    pcap = _pow2(rcap + len(ext))
+    mp_pos = np.zeros((pcap, 3), np.float32)
+    mp_pos[:nrows] = ctx["pos"]
+    for j, mp in enumerate(ext):
+        mp_pos[rcap + j] = mp.world_pos
+
+    feats, packed_d, npx_d, nrow_d, nT2_d = fused_tracking.steady_step(
+        img_d,
+        prev_feats,
+        chain_px_d,
+        chain_row_d,
+        jnp.asarray(mp_pos),
+        T_init_d,
+        ctx["kf_feats"],
+        ctx["kf_px"],
+        ctx["kf_row"],
+        ctx["first_slot_d"],
+        ctx["normal_d"],
+        ctx["maxdist_d"],
+        _k_dev(tracker),
+        float(m.threshold),
+        int(tracker.img_width),
+        float(tracker.img_width),
+        float(tracker.img_height),
+        bool(tracker.octave_information),
+        m.max_features,
+        m.fast_threshold,
+    )
+    # start the device->host copy NOW; by consumption time it has landed
+    if hasattr(packed_d, "copy_to_host_async"):
+        packed_d.copy_to_host_async()
+    return {
+        "prev_frame_id": tracker.last_frame.id,
+        "ctx": ctx,
+        "ext": ext,
+        "feats": feats,
+        "packed_d": packed_d,
+        "chain": (npx_d, nrow_d, nT2_d),
+    }

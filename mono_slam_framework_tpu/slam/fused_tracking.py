@@ -343,4 +343,25 @@ def steady_step(
             _f32(T2), _f32(n_good2), _f32(new_row), _f32(inlier2), _f32(vis),
         ]
     )
-    return cur, packed
+
+    # device-resident chain state for speculative next-frame dispatch
+    # (fused_host.dispatch_steady_spec): this frame's final associations as
+    # next-frame prev tables, plus the optimized pose. Never transferred in
+    # the non-pipelined mode — zero cost there.
+    cur_xy_i = cur.xy.astype(jnp.int32)
+    cur_idx = cur_xy_i[:, 1] * cols + cur_xy_i[:, 0]
+    union_row = jnp.where(cur_row >= 0, cur_row, new_row)
+    chain_px = jnp.where(union_row >= 0, cur_idx, NONE)
+    return cur, packed, chain_px, union_row, T2
+
+
+@jax.jit
+def chain_T_init(T_prev, T_prev2):
+    """Device twin of the host motion model for speculative dispatch:
+    T_init = velocity @ T_prev with velocity = T_prev @ inv(T_prev2)
+    (Tracking.cc:155-165; inv is the exact SE3 inverse)."""
+    R = T_prev2[:3, :3]
+    t = T_prev2[:3, 3]
+    inv = jnp.eye(4, dtype=jnp.float32)
+    inv = inv.at[:3, :3].set(R.T).at[:3, 3].set(-R.T @ t)
+    return T_prev @ inv @ T_prev

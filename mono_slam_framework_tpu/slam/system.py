@@ -89,6 +89,40 @@ class System:
             self.loop_closer.run()
         self._current_position = tcw
 
+    def track_monocular_pipelined(self, image, timestamp: float):
+        """Throughput mode (requires `fusedOneStep`): processes the PREVIOUS
+        frame and speculatively dispatches THIS frame's device program from
+        the last frame's device-resident chain state
+        (fused_host.dispatch_steady_spec) — the device compute and the
+        result's host copy overlap the caller's next-frame time, so steady
+        frames cost roughly the host replay alone. One-frame latency:
+        returns the previous frame's `last_metrics` (None on the first
+        call); poses/maps reflect the last COMPLETED frame. Call
+        `flush_pipeline()` after the final frame.
+        """
+        from mono_slam_framework_tpu.slam import fused_host
+
+        out = None
+        prev = getattr(self, "_pipe_prev", None)
+        if prev is not None:
+            self.track_monocular(*prev)
+            out = self.last_metrics
+        self._pipe_prev = (image, timestamp)
+        self.tracker._pipe_spec = fused_host.dispatch_steady_spec(
+            self.tracker, image
+        )
+        return out
+
+    def flush_pipeline(self):
+        """Complete the pending pipelined frame (if any)."""
+        prev = getattr(self, "_pipe_prev", None)
+        self._pipe_prev = None
+        self.tracker._pipe_spec = None
+        if prev is not None:
+            self.track_monocular(*prev)
+            return self.last_metrics
+        return None
+
     def map_changed(self) -> bool:
         """Big-change polling (System.cc:77-85)."""
         cur = self.map.get_last_big_change_idx()
