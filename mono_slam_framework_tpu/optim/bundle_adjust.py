@@ -227,6 +227,7 @@ def _lm_iterations(
     dtype,
     solver: str = "dense",
     cg_iters: int = 60,
+    reduce=None,
 ):
     """Run `n_iters` LM iterations on the masked problem (one jit region).
 
@@ -236,21 +237,28 @@ def _lm_iterations(
     O(E) segment_sum scatters; block-Jacobi preconditioner from the
     self-pair Schur diagonal) — no pair list, no [6C,6C] materialization;
     the global-BA path for hundreds of keyframes.
+
+    `reduce` hooks every edge->global reduction: identity on one device; a
+    mesh collective (lax.psum over the edge-sharding axis) turns the cg
+    solver into an SPMD program where each device owns an edge shard and
+    camera/landmark states stay replicated (parallel/ba_sharded.py).
     """
+    if reduce is None:
+        reduce = lambda x: x
     C = cam_T.shape[0]
     P = X.shape[0]
     free = (~p.cam_fixed).astype(dtype)  # [C]
 
     def chi2_of(T, Xp):
         _, e2, _, _, _, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
-        return jnp.sum(lm.huber_rho(e2, use_huber) * edge_mask)
+        return reduce(jnp.sum(lm.huber_rho(e2, use_huber) * edge_mask))
 
     def hessian_diag_max(T, Xp):
         r, e2, w, Jc, Jp, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
         du = jnp.einsum("eik,e,eik->ek", Jc, w, Jc)  # [E,6] diag contributions
         dv = jnp.einsum("eik,e,eik->ek", Jp, w, Jp)
-        dU = jax.ops.segment_sum(du, p.e_cam, C)
-        dV = jax.ops.segment_sum(dv, p.e_pt, P)
+        dU = reduce(jax.ops.segment_sum(du, p.e_cam, C))
+        dV = reduce(jax.ops.segment_sum(dv, p.e_pt, P))
         return jnp.maximum(jnp.max(dU), jnp.max(dV))
 
     lam0 = lm.TAU * hessian_diag_max(cam_T, X)
@@ -260,15 +268,19 @@ def _lm_iterations(
         T, Xp, lam, nu, chi = carry
         r, e2, w, Jc, Jp, _ = _edge_terms(T, Xp, p, edge_mask, use_huber)
 
-        U = jax.ops.segment_sum(
+        U = reduce(jax.ops.segment_sum(
             jnp.einsum("eik,e,eil->ekl", Jc, w, Jc), p.e_cam, C
-        )  # [C,6,6]
-        V = jax.ops.segment_sum(
+        ))  # [C,6,6]
+        V = reduce(jax.ops.segment_sum(
             jnp.einsum("eik,e,eil->ekl", Jp, w, Jp), p.e_pt, P
-        )  # [P,3,3]
-        W = jnp.einsum("eik,e,eil->ekl", Jc, w, Jp)  # [E,6,3]
-        bc = jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jc, w, r), p.e_cam, C)
-        bp = jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jp, w, r), p.e_pt, P)
+        ))  # [P,3,3]
+        W = jnp.einsum("eik,e,eil->ekl", Jc, w, Jp)  # [E,6,3] (edge-local)
+        bc = reduce(
+            jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jc, w, r), p.e_cam, C)
+        )
+        bp = reduce(
+            jax.ops.segment_sum(jnp.einsum("eik,e,ei->ek", Jp, w, r), p.e_pt, P)
+        )
 
         I6 = jnp.eye(6, dtype=dtype)
         I3 = jnp.eye(3, dtype=dtype)
@@ -279,7 +291,7 @@ def _lm_iterations(
 
         # reduced rhs = -(bc - sum_e Y_e bp[pt_e]) per camera
         ybp = jnp.einsum("ekm,em->ek", Y, bp[p.e_pt])
-        red = bc - jax.ops.segment_sum(ybp, p.e_cam, C)  # [C,6]
+        red = bc - reduce(jax.ops.segment_sum(ybp, p.e_cam, C))  # [C,6]
 
         if solver == "dense":
             # Schur assembly: S[ci,cj] -= sum over pairs Y_i W_j^T
@@ -312,18 +324,18 @@ def _lm_iterations(
                 # fixed-camera rows behave as identity (x there stays 0)
                 ux = jnp.einsum("ckl,cl->ck", U, x)
                 wx = jnp.einsum("ekl,ek->el", W, x[p.e_cam])  # [E,3]
-                sp = jax.ops.segment_sum(wx, p.e_pt, P)
+                sp = reduce(jax.ops.segment_sum(wx, p.e_pt, P))
                 vp = jnp.einsum("pkl,pl->pk", Vinv, sp)
                 back = jnp.einsum("ekl,el->ek", W, vp[p.e_pt])  # [E,6]
-                sub = jax.ops.segment_sum(back, p.e_cam, C)
+                sub = reduce(jax.ops.segment_sum(back, p.e_cam, C))
                 out = ux - sub
                 return out * free[:, None] + x * (1.0 - free)[:, None]
 
             # block-Jacobi preconditioner from the self-pair Schur diagonal
             # S_cc ≈ U_c - sum_{e in c} Y_e W_e^T
-            diag_sub = jax.ops.segment_sum(
+            diag_sub = reduce(jax.ops.segment_sum(
                 jnp.einsum("ekl,eml->ekm", Y, W), p.e_cam, C
-            )
+            ))
             Sd = U - diag_sub + 1e-6 * jnp.eye(6, dtype=dtype)[None]
             Sd = jnp.where(p.cam_fixed[:, None, None], jnp.eye(6, dtype=dtype), Sd)
             Sd_inv = jnp.linalg.inv(Sd)
@@ -336,7 +348,7 @@ def _lm_iterations(
 
         # landmark back-substitution: dp = -Vinv (bp + W^T dc)
         wt_dc = jnp.einsum("ekl,ek->el", W, dc[p.e_cam])  # [E,3]
-        acc = jax.ops.segment_sum(wt_dc, p.e_pt, P)
+        acc = reduce(jax.ops.segment_sum(wt_dc, p.e_pt, P))
         dp = -jnp.einsum("pkl,pl->pk", Vinv, bp + acc)
 
         T_new = se3.exp_se3(dc) @ T

@@ -1,3 +1,7 @@
+from mono_slam_framework_tpu.parallel.ba_sharded import (
+    global_bundle_adjust_sharded,
+    make_ba_mesh,
+)
 from mono_slam_framework_tpu.parallel.loftr_tp import loftr_tp_confidence
 from mono_slam_framework_tpu.parallel.sweep import (
     make_mesh,
@@ -7,6 +11,8 @@ from mono_slam_framework_tpu.parallel.sweep import (
 )
 
 __all__ = [
+    "global_bundle_adjust_sharded",
+    "make_ba_mesh",
     "loftr_tp_confidence",
     "make_mesh",
     "sharded_loftr_sweep",

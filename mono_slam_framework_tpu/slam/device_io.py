@@ -233,6 +233,17 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
     )
     if use_dense:
         T_out, X_out, _ = bundle_adjust(p, n_iters=n_iters, robust=robust)
+    elif len(jax.devices()) > 1:
+        # multi-chip: shard the edge set over the mesh; camera/landmark
+        # reductions ride the ICI (parallel/ba_sharded.py)
+        from mono_slam_framework_tpu.parallel import (
+            global_bundle_adjust_sharded,
+            make_ba_mesh,
+        )
+
+        T_out, X_out, _ = global_bundle_adjust_sharded(
+            make_ba_mesh(), p, n_iters=n_iters, robust=robust
+        )
     else:
         T_out, X_out, _ = global_bundle_adjust(p, n_iters=n_iters, robust=robust)
     T_out = np.asarray(T_out)
