@@ -115,3 +115,11 @@ def rays_cos_parallax(uv1, uv2, K1, K2, Rwc1, Rwc2):
     denom = jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1)
     denom = jnp.where(denom == 0, jnp.ones_like(denom), denom)
     return jnp.sum(ray1 * ray2, axis=-1) / denom
+
+
+# batched form over B keyframe pairs (one device call for the whole
+# CreateNewMapPoints neighbor sweep — each pair was a separate dispatch +
+# readback before, ~2 relay round trips x 20 neighbors per keyframe event)
+triangulate_gated_many = jax.jit(
+    jax.vmap(triangulate_gated, in_axes=(0, 0, 0, None, 0, None, 0, None))
+)

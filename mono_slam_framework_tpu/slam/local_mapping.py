@@ -110,7 +110,11 @@ class LocalMapping:
 
     def create_new_map_points(self) -> None:
         """Triangulate new points against <=20 covisible KFs
-        (LocalMapping.cc:136-294); the per-match loop is one batched DLT."""
+        (LocalMapping.cc:136-294) in TWO device calls for the whole sweep:
+        one batched match against every passing neighbor, one vmapped
+        gated-DLT over all pairs (each pair used to be its own match +
+        triangulate dispatch/readback — ~2 relay round trips x 20 neighbors
+        per keyframe event)."""
         neighbors = self.current_kf.get_best_covisibles(20)
         kf1 = self.current_kf
         Rcw1 = kf1.get_rotation()
@@ -118,75 +122,91 @@ class LocalMapping:
         Tcw1 = np.hstack([Rcw1, tcw1[:, None]])
         Ow1 = kf1.get_camera_center()
         K = kf1.K
+        # the reference aborts the sweep when new keyframes queue up
+        # (LocalMapping.cc:147-149); in this sequential runtime the queue
+        # cannot grow mid-call, so one check up front preserves the gate
+        if self.check_new_keyframes():
+            return
 
-        n_new = 0
-        n_candidates = 0
-        for i, kf2 in enumerate(neighbors):
-            if i > 0 and self.check_new_keyframes():
-                return
+        # host-only baseline/median-depth gates first (LocalMapping.cc:162-174)
+        pass_kfs = []
+        for kf2 in neighbors:
             Ow2 = kf2.get_camera_center()
             baseline = float(np.linalg.norm(Ow2 - Ow1))
             median_depth2 = kf2.compute_scene_median_depth(2)
             if median_depth2 <= 0 or baseline / median_depth2 < 0.01:
-                continue  # LocalMapping.cc:162-174
-
-            res = self.matcher.match_frames(kf1, kf2)
-            n = res.num_matches
-            n_candidates += n
-            if n == 0:
                 continue
-            Rcw2 = kf2.get_rotation()
-            tcw2 = kf2.get_translation()
-            Tcw2 = np.hstack([Rcw2, tcw2[:, None]])
+            pass_kfs.append(kf2)
 
-            # parallax gate + normalized-coordinate DLT + cheirality/chi2
-            # gates, all in ONE fixed-capacity jitted program
-            # (LocalMapping.cc:199-264; see triangulation.triangulate_gated
-            # for why the capacity padding matters)
-            cap = max(64, 1 << (n - 1).bit_length())
-            uv1 = np.zeros((cap, 2), np.float32)
-            uv2 = np.zeros((cap, 2), np.float32)
-            uv1[:n] = res.kp1_f
-            uv2[:n] = res.kp2_f
-            vmask = np.zeros(cap, bool)
-            vmask[:n] = True
+        n_new = 0
+        n_candidates = 0
+        if pass_kfs:
+            results = self.matcher.match_against_many(kf1, pass_kfs)
+            B = len(pass_kfs)
+            mcap = max(
+                64,
+                1 << (max(r.num_matches for r in results) - 1).bit_length(),
+            ) if any(r.num_matches for r in results) else 64
+            uv1b = np.zeros((B, mcap, 2), np.float32)
+            uv2b = np.zeros((B, mcap, 2), np.float32)
+            vmaskb = np.zeros((B, mcap), bool)
+            K2b = np.zeros((B, 3, 3), np.float32)
+            Tcw2b = np.zeros((B, 4, 4), np.float32)
+            for bi, (kf2, res) in enumerate(zip(pass_kfs, results)):
+                n = res.num_matches
+                uv1b[bi, :n] = res.kp1_f
+                uv2b[bi, :n] = res.kp2_f
+                vmaskb[bi, :n] = True
+                K2b[bi] = kf2.K
+                Tcw2b[bi] = np.eye(4, dtype=np.float32)
+                Tcw2b[bi, :3, :3] = kf2.get_rotation()
+                Tcw2b[bi, :3, 3] = kf2.get_translation()
             Tcw1f = np.eye(4, dtype=np.float32)
             Tcw1f[:3] = Tcw1
-            Tcw2f = np.eye(4, dtype=np.float32)
-            Tcw2f[:3] = Tcw2
-            X, ok = jax.device_get(
-                triangulation.triangulate_gated(
-                    jnp.asarray(uv1),
-                    jnp.asarray(uv2),
-                    jnp.asarray(vmask),
+            Xb, okb = jax.device_get(
+                triangulation.triangulate_gated_many(
+                    jnp.asarray(uv1b),
+                    jnp.asarray(uv2b),
+                    jnp.asarray(vmaskb),
                     jnp.asarray(K, jnp.float32),
-                    jnp.asarray(kf2.K, jnp.float32),
+                    jnp.asarray(K2b),
                     jnp.asarray(Tcw1f),
-                    jnp.asarray(Tcw2f),
+                    jnp.asarray(Tcw2b),
                     jnp.float32(self.min_parallax),
                 )
             )
-            X, ok = X[:n], ok[:n]
-            uv1, uv2 = uv1[:n], uv2[:n]
 
-            if self.octave_information:
-                inf1, inf2 = res.info1, res.info2
-            else:
-                inf1 = inf2 = np.ones(res.num_matches, np.float32)
-            for k in np.nonzero(ok)[0]:
-                mp = MapPoint(X[k], kf1, self.map)
-                kp1 = tuple(res.keypoints1[k])
-                kp2 = tuple(res.keypoints2[k])
-                m1 = tuple(uv1[k])
-                m2 = tuple(uv2[k])
-                mp.add_observation(kf1, kp1, measurement=m1, info=inf1[k])
-                mp.add_observation(kf2, kp2, measurement=m2, info=inf2[k])
-                kf1.keypoint_map.set_map_point(kp1, mp, measurement=m1, info=inf1[k])
-                kf2.keypoint_map.set_map_point(kp2, mp, measurement=m2, info=inf2[k])
-                mp.update_normal_and_depth()
-                self.map.add_map_point(mp)
-                self.recent_map_points.append(mp)
-                n_new += 1
+            # replay per pair in neighbor order (identical host semantics:
+            # triangulation depends only on static poses, not map state)
+            for bi, (kf2, res) in enumerate(zip(pass_kfs, results)):
+                n = res.num_matches
+                n_candidates += n
+                if n == 0:
+                    continue
+                X, ok = Xb[bi][:n], okb[bi][:n]
+                uv1, uv2 = uv1b[bi][:n], uv2b[bi][:n]
+                if self.octave_information:
+                    inf1, inf2 = res.info1, res.info2
+                else:
+                    inf1 = inf2 = np.ones(res.num_matches, np.float32)
+                for k in np.nonzero(ok)[0]:
+                    mp = MapPoint(X[k], kf1, self.map)
+                    kp1 = tuple(res.keypoints1[k])
+                    kp2 = tuple(res.keypoints2[k])
+                    m1 = tuple(uv1[k])
+                    m2 = tuple(uv2[k])
+                    mp.add_observation(kf1, kp1, measurement=m1, info=inf1[k])
+                    mp.add_observation(kf2, kp2, measurement=m2, info=inf2[k])
+                    kf1.keypoint_map.set_map_point(
+                        kp1, mp, measurement=m1, info=inf1[k]
+                    )
+                    kf2.keypoint_map.set_map_point(
+                        kp2, mp, measurement=m2, info=inf2[k]
+                    )
+                    mp.update_normal_and_depth()
+                    self.map.add_map_point(mp)
+                    self.recent_map_points.append(mp)
+                    n_new += 1
 
         if n_new > 0:
             self._log(f"New MPs created {n_new}")
@@ -214,6 +234,11 @@ class LocalMapping:
                 targets.append(kf2)
         if targets:
             results = self.matcher.match_against_many(self.current_kf, targets)
+            # normal/depth refreshes are deferred and deduplicated: the fuse
+            # sweep touches the same points many times across targets, and
+            # only the final state matters (nothing inside the sweep reads
+            # normals) — one update per touched point at the end
+            touched: dict = {}
             for kf, res in zip(targets, results):
                 if self.octave_information:
                     inf1, inf2 = res.info1, res.info2
@@ -228,8 +253,8 @@ class LocalMapping:
                                 mp1.replace(mp2)
                             else:
                                 mp2.replace(mp1)
-                            mp1.update_normal_and_depth()
-                            mp2.update_normal_and_depth()
+                            touched[id(mp1)] = mp1
+                            touched[id(mp2)] = mp2
                     elif mp1 is None and mp2 is not None:
                         m1 = tuple(res.kp1_f[i])
                         mp2.add_observation(
@@ -240,8 +265,7 @@ class LocalMapping:
                             tuple(res.keypoints1[i]), mp2,
                             measurement=m1, info=inf1[i],
                         )
-                        if not mp2.is_bad:
-                            mp2.update_normal_and_depth()
+                        touched[id(mp2)] = mp2
                     elif mp1 is not None and mp2 is None:
                         m2 = tuple(res.kp2_f[i])
                         mp1.add_observation(
@@ -252,8 +276,10 @@ class LocalMapping:
                             tuple(res.keypoints2[i]), mp1,
                             measurement=m2, info=inf2[i],
                         )
-                        if not mp1.is_bad:
-                            mp1.update_normal_and_depth()
+                        touched[id(mp1)] = mp1
+            for mp in touched.values():
+                if not mp.is_bad:
+                    mp.update_normal_and_depth()
         self.current_kf.update_connections()
 
     def keyframe_culling(self) -> None:
