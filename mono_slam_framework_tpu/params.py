@@ -60,6 +60,11 @@ class SlamParameters:
     # ordering; A/B'd against the two-program path by tests/test_fused.py.
     fusedOneStep: bool = False
 
+    # Background-compile upcoming pow2 shape buckets (bundle adjustment)
+    # in a daemon thread so the first keyframe event at a new bucket does
+    # not stall on a relay compile (utils/prewarm.py). Off by default.
+    prewarmShapes: bool = False
+
     # Opt-in escape from the post-relocalization KF-insertion cooldown
     # (Tracking.cc:525-527 blocks insertion for maxFrames after reloc; with a
     # fast camera the map starves while inliers decay — KNOWN_ISSUES.md).

@@ -94,6 +94,12 @@ def main(argv=None):
         "latency; System.track_monocular_pipelined)",
     )
     p.add_argument(
+        "--prewarm",
+        action="store_true",
+        help="background-compile upcoming BA shape buckets so keyframe "
+        "events do not stall on relay compiles (utils/prewarm.py)",
+    )
+    p.add_argument(
         "--reloc-cooldown-inlier-floor",
         type=int,
         default=0,
@@ -144,6 +150,7 @@ def main(argv=None):
         relocCooldownInlierFloor=args.reloc_cooldown_inlier_floor,
         fusedTracking=args.fused or args.fused_one_step or args.pipelined,
         fusedOneStep=args.fused_one_step or args.pipelined,
+        prewarmShapes=args.prewarm,
     )
     system = System(
         params, matcher, KeyFrameMatchDatabase(matcher), verbose=not args.quiet

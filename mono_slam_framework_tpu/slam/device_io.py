@@ -24,6 +24,7 @@ from mono_slam_framework_tpu.optim import (
     local_bundle_adjust,
     pose_optimize,
 )
+from mono_slam_framework_tpu.optim.bundle_adjust import BAProblem
 
 # above this camera count the full-map BA switches from the dense Schur
 # solve to matrix-free PCG (O(E) per CG application, no O(sum deg^2) pair
@@ -95,7 +96,29 @@ def _collect_ba_window(local_kfs: list, local_mps: list, current_marker):
     return fixed_kfs
 
 
-def run_local_ba(current_kf, map_) -> None:
+def _ba_spec(C, P, E, Q):
+    """Abstract BAProblem for shape prewarming (utils/prewarm.py)."""
+    import jax
+
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    return BAProblem(
+        cam_T=sds((C, 4, 4), f32),
+        cam_fixed=sds((C,), jnp.bool_),
+        points=sds((P, 3), f32),
+        e_cam=sds((E,), jnp.int32),
+        e_pt=sds((E,), jnp.int32),
+        e_uv=sds((E, 2), f32),
+        e_valid=sds((E,), jnp.bool_),
+        e_info=sds((E,), f32),
+        pair_i=sds((Q,), jnp.int32),
+        pair_j=sds((Q,), jnp.int32),
+        pair_valid=sds((Q,), jnp.bool_),
+        K=sds((3, 3), f32),
+    )
+
+
+def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
     """Local BA over the covisible window (Optimizer.cc:336-574)."""
     marker = current_kf.id
     local_kfs = [current_kf]
@@ -159,6 +182,17 @@ def run_local_ba(current_kf, map_) -> None:
         pad_cams=_pow2(len(cams), floor=8),
         pad_points=_pow2(len(local_mps), floor=128),
     )
+    if prewarm_shapes:
+        # background-compile the next shape buckets before the map grows
+        # into them (the first KF event at a new bucket otherwise stalls on
+        # a relay compile / cache load)
+        from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+        C, P = p.cam_T.shape[0], p.points.shape[0]
+        E, Q = p.e_cam.shape[0], p.pair_i.shape[0]
+        prewarm(local_bundle_adjust, _ba_spec(C, P, 2 * E, 4 * Q))
+        prewarm(local_bundle_adjust, _ba_spec(2 * C, 2 * P, 2 * E, 4 * Q))
+
     T_out, X_out, bad, _ = local_bundle_adjust(p)
     T_out = np.asarray(T_out)
     X_out = np.asarray(X_out)

@@ -27,6 +27,7 @@ class LocalMapping:
         self.matcher = feature_matcher
         self.min_parallax = float(params.minimumParallax)
         self.octave_information = getattr(params, "octaveInformation", True)
+        self.prewarm_shapes = getattr(params, "prewarmShapes", False)
         self.new_keyframes: list = []
         self.recent_map_points: list = []
         self.current_kf = None
@@ -64,7 +65,9 @@ class LocalMapping:
         self.create_new_map_points()
         self.search_in_neighbors()
         if self.map.n_keyframes() > 2:
-            run_local_ba(self.current_kf, self.map)
+            run_local_ba(
+                self.current_kf, self.map, prewarm_shapes=self.prewarm_shapes
+            )
         self._log("Local BA done")
         self.keyframe_culling()
         if self.loop_closer is not None:
