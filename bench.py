@@ -149,13 +149,13 @@ def bench_steady_device():
             0.7, W, float(W), float(H), True, MAXF, 20.0,
         )
 
-    _, pk = call(imgs[0])
+    pk = call(imgs[0])[1]
     # a forcing readback, not block_until_ready: the latter does not reliably
     # wait through the axon relay, which would leak compile time into t0
     float(jnp.sum(pk))
     t0 = time.perf_counter()
     for i in range(50):
-        _, pk = call(imgs[i])
+        pk = call(imgs[i])[1]
     # one readback drains the async chain (block_until_ready is unreliable
     # through the axon relay)
     float(jnp.sum(pk))

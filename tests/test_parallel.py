@@ -79,7 +79,9 @@ class TestShardedSweep:
         fn, args = mod.entry()
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
-        assert np.isfinite(np.asarray(out[0])).all()
+        # steady_step returns (Features, packed, chain_px, chain_row, T2)
+        assert np.isfinite(np.asarray(out[1])).all()
+        assert np.isfinite(np.asarray(out[4])).all()
 
 
 class TestShardedGlobalBA:
