@@ -36,3 +36,38 @@ class TestPrewarm:
 
         lowered = local_bundle_adjust.lower(_ba_spec(8, 128, 128, 512))
         assert lowered is not None
+
+    def test_pipeline_with_prewarm_and_pipelined(self):
+        """End-to-end: prewarmShapes + pipelined tracking stay OK on the
+        synthetic world (the prewarm worker must not disturb real calls)."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        import numpy as np
+        from synthetic_world import PlaneWorld, lateral_trajectory
+
+        from mono_slam_framework_tpu.matchers import OrbFeatureMatcher
+        from mono_slam_framework_tpu.params import SlamParameters
+        from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
+        from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+        from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+
+        world = PlaneWorld(second_plane=(3.0, 0.3))
+        poses = lateral_trajectory(14, step=0.07)
+        reset_frame_ids()
+        reset_map_ids()
+        params = SlamParameters(
+            fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+            max_features=400, minIniMatchCount=100,
+            initializerModelFallback=True, fusedTracking=True,
+            fusedOneStep=True, prewarmShapes=True,
+        )
+        matcher = OrbFeatureMatcher(threshold=0.7, max_features=400)
+        system = System(
+            params, matcher, KeyFrameMatchDatabase(matcher), verbose=False
+        )
+        system.toggle_initialization_allowed()
+        for i, T in enumerate(poses):
+            system.track_monocular_pipelined(world.render(T), i * 0.1)
+        final = system.flush_pipeline()
+        assert final is not None and final["state"] == "OK"
+        assert system.map.n_keyframes() >= 2
