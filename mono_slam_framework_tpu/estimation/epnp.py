@@ -253,12 +253,16 @@ def solve_pnp_ransac(
     else:
         # reference hardcodes the epsilon^3 exponent (PnPsolver.cc:159)
         n_iter = int(np.ceil(np.log(1 - probability) / np.log(1 - eps**3)))
-    n_iter = max(1, min(n_iter, max_iterations))
+    n_iter = max(1, n_iter)
     # pow2 bucket: `iterations` is a static jit arg, so every distinct
     # adaptive count would compile a new program (minutes on a
     # relay-attached TPU). Rounding UP only strengthens the RANSAC
-    # success-probability guarantee (PnPsolver.cc:159 computes a minimum).
+    # success-probability guarantee (PnPsolver.cc:159 computes a minimum) —
+    # but the caller's max_iterations stays a hard cost bound, so round to
+    # pow2 first and clamp to the pow2 at-or-below max_iterations after.
     n_iter = 1 << (n_iter - 1).bit_length()
+    if n_iter > max_iterations:
+        n_iter = max(1, 1 << (int(max_iterations).bit_length() - 1))
     if N < n_min_inliers:
         return False, None, np.zeros(N, bool)
 

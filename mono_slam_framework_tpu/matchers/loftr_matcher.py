@@ -70,7 +70,9 @@ class LoftrFeatureMatcher(FeatureMatcher):
         self._fine_cache: "collections.OrderedDict" = collections.OrderedDict()
 
     def _frame_key(self, frame):
-        return getattr(frame, "matcher_key", None) or id(frame)
+        # explicit None test: matcher_key 0 (first frame after reset) is falsy
+        key = getattr(frame, "matcher_key", None)
+        return id(frame) if key is None else key
 
     def _features(self, frame):
         key = self._frame_key(frame)
@@ -127,14 +129,35 @@ class LoftrFeatureMatcher(FeatureMatcher):
             self._fine_cache.popitem(last=False)
         return fine
 
+    def _sigma_octave(self, scale) -> float:
+        """Effective 'octave' encoding the matcher's measurement sigma.
+
+        The optimizers weight every edge by InvSigma2 = 1.2^(-2*octave)
+        (upstream ORB-SLAM2 convention, restored by this rebuild), and gate
+        inliers at chi2 = err^2 * InvSigma2 < 5.991. A 16 px coarse cell has
+        ~CELL/2 px quantization sigma (~CELL/8 with fine refinement); report
+        the octave whose 1.2^octave equals that sigma so LoFTR matches are
+        judged at their real precision instead of ORB's ~1 px.
+        """
+        s = (CELL / 8.0 if self.fine else CELL / 2.0) * float(
+            (scale[0] + scale[1]) * 0.5
+        )
+        return float(np.log(max(s, 1.0)) / np.log(1.2))
+
     def _decode_result(self, frame1, frame2, vals, idx, scale1, scale2):
         vals = np.asarray(vals)
         ok = vals > self.threshold
         xy1, xy2 = _decode_cells(np.asarray(idx)[ok])
         kp1 = (xy1 * np.asarray(scale1, np.float32)).astype(np.int32)
         kp2 = (xy2 * np.asarray(scale2, np.float32)).astype(np.int32)
+        n = kp1.shape[0]
         return MatchFramesResult(
-            frame1=frame1, frame2=frame2, keypoints1=kp1, keypoints2=kp2
+            frame1=frame1,
+            frame2=frame2,
+            keypoints1=kp1,
+            keypoints2=kp2,
+            octaves1=np.full(n, self._sigma_octave(scale1), np.float32),
+            octaves2=np.full(n, self._sigma_octave(scale2), np.float32),
         )
 
     def match_frames(self, frame1, frame2) -> MatchFramesResult:
@@ -147,24 +170,35 @@ class LoftrFeatureMatcher(FeatureMatcher):
         if self.fine and res.num_matches:
             vals_h = np.asarray(vals[0])
             idx_h = np.asarray(idx[0])
-            offs = np.asarray(
-                loftr_native.fine_refine(
-                    self._fine_map(frame1),
-                    self._fine_map(frame2),
-                    (idx_h // L).astype(np.int32),
-                    (idx_h - (idx_h // L) * L).astype(np.int32),
-                    GRID_W,
+            cell1 = (idx_h // L).astype(np.int32)
+            cell2 = (idx_h - (idx_h // L) * L).astype(np.int32)
+            fm1 = self._fine_map(frame1)
+            fm2 = self._fine_map(frame2)
+            ok = vals_h > self.threshold
+            # refine BOTH images' coordinates (each against the other's /4
+            # neighborhood). IMPORTANT: the refined values ride ONLY in the
+            # float measurements (keypoints*_f) — the integer keypoints stay
+            # at the deterministic coarse cell corners so the exact-pixel
+            # association keys (KeyPointMap, quirk B1) are stable across
+            # match pairs; a refined integer would shift per pair and break
+            # the stored-pixel lookup contract.
+            for which, fma, fmb, ca, cb, scale, frame in (
+                (2, fm1, fm2, cell1, cell2, scale2, frame2),
+                (1, fm2, fm1, cell2, cell1, scale1, frame1),
+            ):
+                offs = np.asarray(
+                    loftr_native.fine_refine(fma, fmb, ca, cb, GRID_W)
+                )[ok]
+                h, w = np.asarray(frame.image).shape
+                kpf = (res.keypoints2 if which == 2 else res.keypoints1).astype(
+                    np.float32
                 )
-            )[vals_h > self.threshold]
-            h2, w2 = np.asarray(frame2.image).shape
-            kp2f = res.keypoints2.astype(np.float32)
-            kp2f[:, 0] += offs[:, 0] * float(scale2[0])
-            kp2f[:, 1] += offs[:, 1] * float(scale2[1])
-            kp2f[:, 0] = np.clip(kp2f[:, 0], 0, w2 - 1)
-            kp2f[:, 1] = np.clip(kp2f[:, 1], 0, h2 - 1)
-            res.keypoints2_f = kp2f
-            # the integer contract keeps truncation (featurematcher.cpp:33-38)
-            res.keypoints2 = kp2f.astype(np.int32)
+                kpf[:, 0] = np.clip(kpf[:, 0] + offs[:, 0] * float(scale[0]), 0, w - 1)
+                kpf[:, 1] = np.clip(kpf[:, 1] + offs[:, 1] * float(scale[1]), 0, h - 1)
+                if which == 2:
+                    res.keypoints2_f = kpf
+                else:
+                    res.keypoints1_f = kpf
         return res
 
     def match_against_many(self, frame, others):

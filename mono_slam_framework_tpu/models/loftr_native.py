@@ -120,11 +120,14 @@ def backbone(params: dict, img: jnp.ndarray) -> jnp.ndarray:
     return _backbone_trunk(params, img)[0]
 
 
+@jax.jit
 def encode(params: dict, img: jnp.ndarray) -> jnp.ndarray:
     """Backbone + positional encoding, flattened: [B,1,H,W] -> [B, L, C].
 
     Row-major over (y, x), matching the matcher's cell decode
     (dnnfeaturematcher.cpp:75-100: x = cell % grid_w, y = cell // grid_w).
+    Jitted: one XLA program for the whole ~50-op backbone (shapes are fixed
+    per resolution, so a single compilation covers every frame).
     """
     fmap = backbone(params, img)
     b, c, h, w = fmap.shape
@@ -223,6 +226,7 @@ def match_one_against_many(params, f_query, f_stack, max_matches: int):
     return vals[:, 0], idx[:, 0]
 
 
+@jax.jit
 def encode_with_fine(params: dict, img: jnp.ndarray):
     """encode() + the /4 fine feature map: [B,1,H,W] -> ([B,L,C], [B,16,H/4,W/4])."""
     fmap, fine = _backbone_trunk(params, img)

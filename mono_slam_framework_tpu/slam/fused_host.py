@@ -783,7 +783,7 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
         ctx["maxdist_d"],
         _k_dev(tracker),
         float(m.threshold),
-        int(tracker.img_width),
+        int(tracker.last_frame.keypoint_map.cols),
         float(tracker.img_width),
         float(tracker.img_height),
         bool(tracker.octave_information),

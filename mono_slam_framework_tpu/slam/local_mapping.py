@@ -125,11 +125,13 @@ class LocalMapping:
         Tcw1 = np.hstack([Rcw1, tcw1[:, None]])
         Ow1 = kf1.get_camera_center()
         K = kf1.K
-        # the reference aborts the sweep when new keyframes queue up
-        # (LocalMapping.cc:147-149); in this sequential runtime the queue
-        # cannot grow mid-call, so one check up front preserves the gate
+        # the reference aborts the sweep when new keyframes queue up, but
+        # only from the SECOND neighbor on (`i > 0 && CheckNewKeyFrames()`,
+        # LocalMapping.cc:147-149): neighbor index 0 is always processed.
+        # In this sequential runtime the queue cannot grow mid-call, so a
+        # non-empty queue truncates the sweep to that first neighbor.
         if self.check_new_keyframes():
-            return
+            neighbors = neighbors[:1]
 
         # host-only baseline/median-depth gates first (LocalMapping.cc:162-174)
         pass_kfs = []
