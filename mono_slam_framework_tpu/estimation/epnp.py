@@ -219,6 +219,26 @@ def _ransac_epnp(X, uv, valid, K, key, th2, iterations, min_set):
     return Rs[best], ts[best], inls[best], cnts[best]
 
 
+def prewarm_shapes(caps=(256, 512), iteration_buckets=(64, 256), min_set=4) -> None:
+    """Queue background compiles of the EPnP RANSAC programs for the given
+    pow2 point-capacity / iteration buckets (utils/prewarm.py), so the first
+    relocalization attempt does not stall on a relay compile. Specs mirror
+    `solve_pnp_ransac`'s call shapes exactly."""
+    from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+    sds = jax.ShapeDtypeStruct
+    for cap in caps:
+        Xs = sds((cap, 3), jnp.float32)
+        uvs = sds((cap, 2), jnp.float32)
+        vb = sds((cap,), jnp.bool_)
+        Ks = sds((3, 3), jnp.float32)
+        key = sds((2,), jnp.uint32)
+        th2 = jnp.float32(5.991)
+        for it in iteration_buckets:
+            prewarm(_ransac_epnp, Xs, uvs, vb, Ks, key, th2, it, min_set)
+        prewarm(_refine_epnp, Xs, uvs, Ks, sds((cap,), jnp.float32), vb, th2)
+
+
 @jax.jit
 def _refine_epnp(X, uv, K, weights, valid, th2):
     R, t, _ = _epnp_pose(X, uv, K, weights)

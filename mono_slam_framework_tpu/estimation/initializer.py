@@ -245,6 +245,30 @@ class Initializer:
         self.iterations = int(iterations)
         self.model_fallback = bool(model_fallback)
 
+    def prewarm_shapes(self, caps=(256, 512)) -> None:
+        """Queue background compiles of the RANSAC + reconstruction programs
+        for the given pow2 match-capacity buckets (utils/prewarm.py) so the
+        first init attempt at each bucket does not stall on a relay compile.
+        Specs mirror `initialize`'s call shapes exactly."""
+        import jax as _jax
+
+        from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+        sds = _jax.ShapeDtypeStruct
+        for cap in caps:
+            xy = sds((cap, 2), jnp.float32)
+            vb = sds((cap,), jnp.bool_)
+            key = sds((2,), jnp.uint32)
+            prewarm(ransac_h_f, xy, xy, vb, key, self.sigma, self.iterations)
+            model = sds((3, 3), jnp.float32)
+            scalars = (
+                jnp.float32(self.sigma * self.sigma),
+                jnp.float32(1.1),
+                jnp.int32(25),
+            )
+            prewarm(reconstruct_h, model, self.K, xy, xy, vb, *scalars)
+            prewarm(reconstruct_f, model, self.K, xy, xy, vb, *scalars)
+
     def initialize(
         self,
         xy1: np.ndarray,

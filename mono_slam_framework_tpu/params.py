@@ -48,9 +48,11 @@ class SlamParameters:
     # as two fixed-shape device programs with one readback each instead of
     # ~10 round trips (slam/fused_tracking.py). Semantics are replayed
     # reference-identically; falls back to the unfused path whenever its
-    # preconditions fail. Off by default (the unfused path is the
-    # reference twin).
-    fusedTracking: bool = False
+    # preconditions fail (non-ORB matchers, reloc cooldown, ...). ON by
+    # default: this is the framework's headline steady-state path; set False
+    # for the strict reference-twin flow (parity is pinned either way by
+    # tests/test_fused.py).
+    fusedTracking: bool = True
 
     # On top of fusedTracking: collapse BOTH programs into ONE with a single
     # readback per steady frame (fused_tracking.steady_step). Candidate
@@ -58,12 +60,14 @@ class SlamParameters:
     # computed after the previous frame (one frame stale, refreshed after
     # the readback) — a deliberate, measured deviation from the reference
     # ordering; A/B'd against the two-program path by tests/test_fused.py.
-    fusedOneStep: bool = False
+    # ON by default (fastest host-in-the-loop mode).
+    fusedOneStep: bool = True
 
-    # Background-compile upcoming pow2 shape buckets (bundle adjustment)
-    # in a daemon thread so the first keyframe event at a new bucket does
-    # not stall on a relay compile (utils/prewarm.py). Off by default.
-    prewarmShapes: bool = False
+    # Background-compile upcoming pow2 shape buckets (bundle adjustment,
+    # initializer, EPnP, triangulation) in a daemon thread so the first
+    # keyframe event at a new bucket does not stall on a relay compile
+    # (utils/prewarm.py). ON by default; harmless where compiles are cheap.
+    prewarmShapes: bool = True
 
     # Opt-in escape from the post-relocalization KF-insertion cooldown
     # (Tracking.cc:525-527 blocks insertion for maxFrames after reloc; with a

@@ -75,16 +75,19 @@ def main(argv=None):
     )
     p.add_argument(
         "--fused",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="fused steady-state tracking: the per-frame OK-path as two "
-        "fixed-shape device programs (slam/fused_tracking.py)",
+        "fixed-shape device programs (slam/fused_tracking.py). Default on; "
+        "--no-fused selects the strict reference-twin flow",
     )
     p.add_argument(
         "--fused-one-step",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="with --fused: both tracking phases as ONE device program with "
         "a single readback per steady frame (one-frame-stale local-KF "
-        "window; fused_tracking.steady_step)",
+        "window; fused_tracking.steady_step). Default on",
     )
     p.add_argument(
         "--pipelined",
@@ -95,9 +98,11 @@ def main(argv=None):
     )
     p.add_argument(
         "--prewarm",
-        action="store_true",
-        help="background-compile upcoming BA shape buckets so keyframe "
-        "events do not stall on relay compiles (utils/prewarm.py)",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="background-compile upcoming shape buckets (BA, initializer, "
+        "EPnP, triangulation) so keyframe events do not stall on relay "
+        "compiles (utils/prewarm.py). Default on",
     )
     p.add_argument(
         "--reloc-cooldown-inlier-floor",

@@ -148,22 +148,26 @@ class LocalMapping:
         if pass_kfs:
             results = self.matcher.match_against_many(kf1, pass_kfs)
             B = len(pass_kfs)
+            # pow2 pair-count bucket: the neighbor count changes every
+            # keyframe event, and an unbucketed leading dim would recompile
+            # the vmapped DLT per distinct count (padded rows are fully
+            # masked; benign K/pose values keep the math finite)
+            Bcap = 1 << (max(B, 2) - 1).bit_length()
             mcap = max(
                 64,
                 1 << (max(r.num_matches for r in results) - 1).bit_length(),
             ) if any(r.num_matches for r in results) else 64
-            uv1b = np.zeros((B, mcap, 2), np.float32)
-            uv2b = np.zeros((B, mcap, 2), np.float32)
-            vmaskb = np.zeros((B, mcap), bool)
-            K2b = np.zeros((B, 3, 3), np.float32)
-            Tcw2b = np.zeros((B, 4, 4), np.float32)
+            uv1b = np.zeros((Bcap, mcap, 2), np.float32)
+            uv2b = np.zeros((Bcap, mcap, 2), np.float32)
+            vmaskb = np.zeros((Bcap, mcap), bool)
+            K2b = np.tile(np.asarray(K, np.float32), (Bcap, 1, 1))
+            Tcw2b = np.tile(np.eye(4, dtype=np.float32), (Bcap, 1, 1))
             for bi, (kf2, res) in enumerate(zip(pass_kfs, results)):
                 n = res.num_matches
                 uv1b[bi, :n] = res.kp1_f
                 uv2b[bi, :n] = res.kp2_f
                 vmaskb[bi, :n] = True
                 K2b[bi] = kf2.K
-                Tcw2b[bi] = np.eye(4, dtype=np.float32)
                 Tcw2b[bi, :3, :3] = kf2.get_rotation()
                 Tcw2b[bi, :3, 3] = kf2.get_translation()
             Tcw1f = np.eye(4, dtype=np.float32)
@@ -180,6 +184,24 @@ class LocalMapping:
                     jnp.float32(self.min_parallax),
                 )
             )
+            # background-compile the NEXT shape buckets before the sweep
+            # grows into them (no-op unless prewarming is enabled)
+            from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+            sds = jax.ShapeDtypeStruct
+            f32 = jnp.float32
+            for B2, m2 in ((2 * Bcap, mcap), (Bcap, 2 * mcap)):
+                prewarm(
+                    triangulation.triangulate_gated_many,
+                    sds((B2, m2, 2), f32),
+                    sds((B2, m2, 2), f32),
+                    sds((B2, m2), jnp.bool_),
+                    sds((3, 3), f32),
+                    sds((B2, 3, 3), f32),
+                    sds((4, 4), f32),
+                    sds((B2, 4, 4), f32),
+                    jnp.float32(self.min_parallax),
+                )
 
             # replay per pair in neighbor order (identical host semantics:
             # triangulation depends only on static poses, not map state)

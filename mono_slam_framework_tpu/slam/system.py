@@ -43,6 +43,11 @@ class System:
         self.verbose = verbose
         self.matcher = feature_matcher
         self.kf_db = keyframe_database
+        # process-wide prewarm switch: call sites request background shape
+        # compiles unconditionally; this gate decides whether they run
+        from mono_slam_framework_tpu.utils import prewarm as _prewarm_mod
+
+        _prewarm_mod.set_enabled(getattr(parameters, "prewarmShapes", True))
         frame_factory = frame_factory or FrameFactory()
         keyframe_factory = keyframe_factory or KeyFrameFactory()
 

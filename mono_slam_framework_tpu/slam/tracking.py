@@ -134,6 +134,17 @@ class Tracking:
     def toggle_initialization_allowed(self) -> None:
         self.initialization_allowed = True
 
+    def _match_cap_buckets(self) -> tuple:
+        """Likely pow2 match-capacity buckets for shape prewarming, from the
+        matcher's own capacity (ORB: max_features; LoFTR: max_matches)."""
+        cap = int(
+            getattr(self.matcher, "max_features", 0)
+            or getattr(self.matcher, "max_matches", 0)
+            or self.params.max_matches
+        )
+        cap = max(64, 1 << (cap - 1).bit_length())
+        return (cap // 2, cap) if cap > 64 else (cap,)
+
     def set_minimum_keyframes(self, n: int) -> None:
         self.minimum_keyframes = n
 
@@ -283,6 +294,10 @@ class Tracking:
                         self.params, "initializerModelFallback", False
                     ),
                 )
+                # background-compile the init RANSAC/reconstruction programs
+                # for the likely match-capacity buckets before the first
+                # attempt needs them (no-op unless params.prewarmShapes)
+                self.initializer.prewarm_shapes(self._match_cap_buckets())
             return
 
         self.ini_match_result = self.matcher.match_frames(
@@ -375,6 +390,12 @@ class Tracking:
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kf_ini)
             self.local_mapper.insert_keyframe(kf_cur)
+
+        # map is live from here: background-compile the relocalization EPnP
+        # programs so a later tracking loss does not stall on a relay compile
+        from mono_slam_framework_tpu.estimation import epnp as _epnp
+
+        _epnp.prewarm_shapes(caps=self._match_cap_buckets())
 
         self.current_frame.set_pose(kf_cur.get_pose())
         self.last_keyframe_id = self.current_frame.id

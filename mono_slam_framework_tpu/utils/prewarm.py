@@ -22,6 +22,14 @@ _queue: "queue.Queue" = queue.Queue()
 _seen: set = set()
 _lock = threading.Lock()
 _worker: threading.Thread | None = None
+_enabled = True
+
+
+def set_enabled(flag: bool) -> None:
+    """Process-wide prewarm switch (System wires SlamParameters.prewarmShapes
+    here so every call site can request prewarms unconditionally)."""
+    global _enabled
+    _enabled = bool(flag)
 
 
 def _drain() -> None:
@@ -58,8 +66,11 @@ def prewarm(fn, *args, **kwargs) -> bool:
     """Queue a background compile of `fn` for the given (abstract) args.
 
     Args may be jax.ShapeDtypeStruct pytrees — nothing touches the device.
-    Returns False if this exact shape set was already queued.
+    Returns False if this exact shape set was already queued (or prewarming
+    is disabled via set_enabled).
     """
+    if not _enabled:
+        return False
     key = _key_of(fn, args, kwargs)
     with _lock:
         if key in _seen:

@@ -22,6 +22,7 @@ class PlaneWorld:
         tex_size=2048,
         tex_scale=100.0,  # texture pixels per world unit
         seed=7,
+        texture="kron",  # "kron" (8px-lattice corners) | "smooth" (off-grid)
     ):
         self.w, self.h, self.f = width, height, f
         self.cx, self.cy = width / 2.0, height / 2.0
@@ -39,15 +40,59 @@ class PlaneWorld:
             self.extra_planes = list(second_plane)
         self.tex_scale = tex_scale
         rng = np.random.default_rng(seed)
-        # feature-rich smooth texture: upsampled random grid + salt blocks
-        coarse = rng.uniform(0, 255, (tex_size // 16, tex_size // 16))
-        tex = np.kron(coarse, np.ones((16, 16)))
-        # add high-contrast corner-rich squares
-        for _ in range(400):
-            y = rng.integers(0, tex_size - 24)
-            x = rng.integers(0, tex_size - 24)
-            s = rng.integers(6, 20)
-            tex[y : y + s, x : x + s] = rng.uniform(0, 255)
+        if texture == "smooth":
+            # OFF-LATTICE texture: the kron texture's block edges land on an
+            # 8-image-px lattice under the standard fronto-parallel setup
+            # (f/(z*tex_scale) = 0.5 px/texel), which hides subpixel errors
+            # (KNOWN_ISSUES.md). Here the base field is bilinear noise at an
+            # irrational texel pitch and the corner-rich blobs are ROTATED
+            # squares at float positions, so no corner sits on any lattice.
+            pitch = 16.37
+            coarse = rng.uniform(40, 215, (160, 160))
+            yy, xx = np.meshgrid(
+                np.arange(tex_size), np.arange(tex_size), indexing="ij"
+            )
+            sy = yy / pitch
+            sx = xx / pitch
+            y0 = np.floor(sy).astype(int) % 159
+            x0 = np.floor(sx).astype(int) % 159
+            fy = (sy - np.floor(sy)).astype(np.float32)
+            fx = (sx - np.floor(sx)).astype(np.float32)
+            tex = (
+                coarse[y0, x0] * (1 - fx) * (1 - fy)
+                + coarse[y0, x0 + 1] * fx * (1 - fy)
+                + coarse[y0 + 1, x0] * (1 - fx) * fy
+                + coarse[y0 + 1, x0 + 1] * fx * fy
+            )
+            for _ in range(900):
+                cy = rng.uniform(20, tex_size - 20)
+                cx_ = rng.uniform(20, tex_size - 20)
+                s = rng.uniform(5, 16)
+                a = rng.uniform(0, np.pi)
+                level = rng.uniform(0, 255)
+                r = int(np.ceil(s * 0.75)) + 2
+                ylo, yhi = int(cy) - r, int(cy) + r + 1
+                xlo, xhi = int(cx_) - r, int(cx_) + r + 1
+                py, px = np.meshgrid(
+                    np.arange(ylo, yhi) - cy,
+                    np.arange(xlo, xhi) - cx_,
+                    indexing="ij",
+                )
+                ca, sa = np.cos(a), np.sin(a)
+                u = ca * px + sa * py
+                v = -sa * px + ca * py
+                mask = (np.abs(u) <= s / 2) & (np.abs(v) <= s / 2)
+                tex[ylo:yhi, xlo:xhi][mask] = level
+        else:
+            # feature-rich blocky texture: upsampled random grid + salt blocks
+            coarse = rng.uniform(0, 255, (tex_size // 16, tex_size // 16))
+            tex = np.kron(coarse, np.ones((16, 16)))
+            # add high-contrast corner-rich squares
+            for _ in range(400):
+                y = rng.integers(0, tex_size - 24)
+                x = rng.integers(0, tex_size - 24)
+                s = rng.integers(6, 20)
+                tex[y : y + s, x : x + s] = rng.uniform(0, 255)
         self.tex = tex.astype(np.float32)
         self.tex_size = tex_size
 
