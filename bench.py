@@ -95,6 +95,7 @@ def main():
 
     e2e = bench_end_to_end()
     e2e.update(bench_steady_device())
+    e2e.update(bench_loftr())
     out = {
         "metric": f"tracking_fps_per_chip_{MAXF}feat",
         "value": round(fps, 2),
@@ -167,10 +168,19 @@ def bench_steady_device():
     }
 
 
-def _bench_system(fused: bool, one_step: bool = False, pipelined: bool = False):
+def _bench_system(
+    fused: bool,
+    one_step: bool = False,
+    pipelined: bool = False,
+    matcher_name: str = "orb",
+    n_warm: int = 12,
+    n_timed: int = 30,
+):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
     (System.cc:63-75 per-frame superloop), steady state after initialization.
+    Returns (fps, stage_ms, extras) where extras carries per-frame and
+    keyframe-event latency percentiles plus pipelined dispatch counters.
     """
     import os
     import sys
@@ -179,18 +189,14 @@ def _bench_system(fused: bool, one_step: bool = False, pipelined: bool = False):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from synthetic_world import PlaneWorld, lateral_trajectory
 
-    from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
     from mono_slam_framework_tpu.params import SlamParameters
     from mono_slam_framework_tpu.slam.frame import reset_frame_ids
     from mono_slam_framework_tpu.slam.kfdb import KeyFrameMatchDatabase
     from mono_slam_framework_tpu.slam.map_model import reset_map_ids
     from mono_slam_framework_tpu.slam.system import System
 
-    N_WARM = 12  # init + compile + map bootstrap
-    N_TIMED = 30
-
-    world = PlaneWorld(second_plane=(3.0, 0.3))
-    poses = lateral_trajectory(N_WARM + N_TIMED, step=0.02)
+    world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(n_warm + n_timed, step=0.02)
     images = [world.render(T) for T in poses]  # pre-render: camera not timed
 
     reset_frame_ids()
@@ -200,21 +206,42 @@ def _bench_system(fused: bool, one_step: bool = False, pipelined: bool = False):
         max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
         fusedTracking=fused, fusedOneStep=one_step,
     )
-    matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
+    if matcher_name == "loftr":
+        from mono_slam_framework_tpu.matchers.loftr_matcher import (
+            LoftrFeatureMatcher,
+        )
+
+        matcher = LoftrFeatureMatcher(threshold=0.1, fine=False)
+    else:
+        from mono_slam_framework_tpu.matchers.orb_matcher import (
+            OrbFeatureMatcher,
+        )
+
+        matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
     system.toggle_initialization_allowed()
 
     track = (
         system.track_monocular_pipelined if pipelined else system.track_monocular
     )
-    for i in range(N_WARM):
+    for i in range(n_warm):
         track(images[i], timestamp=i * 0.1)
 
     if hasattr(system, "timer") and system.timer is not None:
         system.timer.reset()
+    frame_ms = []
+    kf_event_ms = []
+    n_kf_before = system.map.n_keyframes()
     t0 = time.perf_counter()
-    for i in range(N_WARM, N_WARM + N_TIMED):
+    for i in range(n_warm, n_warm + n_timed):
+        f0 = time.perf_counter()
         track(images[i], timestamp=i * 0.1)
+        ms = (time.perf_counter() - f0) * 1000.0
+        frame_ms.append(ms)
+        n_kf = system.map.n_keyframes()
+        if n_kf != n_kf_before:
+            kf_event_ms.append(ms)
+            n_kf_before = n_kf
     if pipelined:
         system.flush_pipeline()
     dt = time.perf_counter() - t0
@@ -222,17 +249,36 @@ def _bench_system(fused: bool, one_step: bool = False, pipelined: bool = False):
     stages = {}
     if hasattr(system, "timer") and system.timer is not None:
         for name, total in system.timer.totals.items():
-            stages[name] = round(total / N_TIMED * 1000.0, 2)  # ms/frame
-    return round(N_TIMED / dt, 2), stages
+            stages[name] = round(total / n_timed * 1000.0, 2)  # ms/frame
+
+    def pct(xs, q):
+        if not xs:
+            return None
+        xs = sorted(xs)
+        return round(xs[min(len(xs) - 1, int(q * len(xs)))], 1)
+
+    extras = {
+        "frame_p50_ms": pct(frame_ms, 0.50),
+        "frame_p95_ms": pct(frame_ms, 0.95),
+        "kf_events": len(kf_event_ms),
+        "kf_event_p95_ms": pct(kf_event_ms, 0.95),
+    }
+    if pipelined:
+        from mono_slam_framework_tpu.slam import fused_host
+
+        extras["pipe_stats"] = dict(fused_host.pipe_stats(system.tracker))
+    return round(n_timed / dt, 2), stages, extras
 
 
 def bench_end_to_end():
     """Extra JSON fields: end-to-end FPS for the reference-twin path and the
-    fused steady-state path (slam/fused_tracking.py), with stage breakdowns."""
-    fps_ref, stages_ref = _bench_system(fused=False)
-    fps_fused, stages_fused = _bench_system(fused=True)
-    fps_one, stages_one = _bench_system(fused=True, one_step=True)
-    fps_pipe, _ = _bench_system(fused=True, one_step=True, pipelined=True)
+    fused steady-state path (slam/fused_tracking.py), with stage breakdowns,
+    per-frame/keyframe-event latency percentiles, and pipelined dispatch
+    counters (VERDICT round-2 #2/#4)."""
+    fps_ref, stages_ref, _ = _bench_system(fused=False)
+    fps_fused, stages_fused, _ = _bench_system(fused=True)
+    fps_one, stages_one, ex_one = _bench_system(fused=True, one_step=True)
+    fps_pipe, _, ex_pipe = _bench_system(fused=True, one_step=True, pipelined=True)
     return {
         "e2e_fps_2000feat": fps_ref,
         "e2e_vs_baseline": round(fps_ref / 60.0, 3),
@@ -243,8 +289,78 @@ def bench_end_to_end():
         "e2e_onestep_fps_2000feat": fps_one,
         "e2e_onestep_vs_baseline": round(fps_one / 60.0, 3),
         "e2e_onestep_stage_ms": stages_one,
+        "e2e_onestep_frame_p95_ms": ex_one["frame_p95_ms"],
+        "kf_events": ex_one["kf_events"],
+        "kf_event_p95_ms": ex_one["kf_event_p95_ms"],
         "e2e_pipelined_fps_2000feat": fps_pipe,
         "e2e_pipelined_vs_baseline": round(fps_pipe / 60.0, 3),
+        "pipe_stats": ex_pipe.get("pipe_stats", {}),
+    }
+
+
+def bench_loftr():
+    """LoFTR throughput: the one-program fused steady path on-device
+    (slam/fused_loftr.py — encode + transformer matching vs last frame and
+    a 4-KF window + both pose LMs) and the full System e2e with the DNN
+    matcher (src/main.cpp:63-66 configuration). Fields prefixed loftr_."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mono_slam_framework_tpu.models import loftr_native
+    from mono_slam_framework_tpu.slam import fused_loftr
+
+    H, W = 480, 640
+    L = 1200
+    NK = 4
+    rng = np.random.default_rng(3)
+    base = np.kron(
+        rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32), np.ones((8, 8))
+    )
+    imgs = [
+        jnp.asarray(np.roll(base, 5 * i, axis=1), jnp.float32) for i in range(30)
+    ]
+    params = loftr_native.load_params()
+    f_prev = loftr_native.encode(params, (imgs[0] / 255.0)[None, None])
+    rcap = 1024
+    prev_cellrow = jnp.asarray(rng.integers(-1, 700, L), jnp.int32)
+    mp_pos = jnp.asarray(rng.uniform(-2, 2, (rcap * 2, 3)) + [0, 0, 6], jnp.float32)
+    T_init = jnp.eye(4, dtype=jnp.float32)
+    kf_feats = jnp.concatenate([f_prev] * NK, axis=0)
+    kf_cellrow = jnp.asarray(rng.integers(-1, 700, (NK, L)), jnp.int32)
+    first_slot = jnp.asarray(rng.integers(0, NK, rcap), jnp.int32)
+    nrm = jnp.asarray(rng.normal(size=(rcap, 3)), jnp.float32)
+    maxd = jnp.asarray(rng.uniform(1, 10, rcap), jnp.float32)
+    cells = np.arange(L)
+    uv = np.stack([(cells % 40) * 16, (cells // 40) * 16], -1).astype(np.float32)
+    Km = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], jnp.float32)
+
+    def call(img):
+        return fused_loftr.steady_step_loftr(
+            img, params, f_prev, prev_cellrow, mp_pos, T_init,
+            kf_feats, kf_cellrow, first_slot, nrm, maxd,
+            jnp.asarray(uv), Km, jnp.float32(1.0 / 64.0),
+            0.1, float(W), float(H), None,
+        )
+
+    pk = call(imgs[0])[1]
+    float(jnp.sum(pk))  # forcing readback (block_until_ready unreliable on relay)
+    t0 = time.perf_counter()
+    for i in range(30):
+        pk = call(imgs[i])[1]
+    float(jnp.sum(pk))
+    dt = time.perf_counter() - t0
+    device_fps = 30 / dt
+
+    fps_e2e, _, _ = _bench_system(
+        fused=True, one_step=True, matcher_name="loftr", n_warm=8, n_timed=20
+    )
+    return {
+        "loftr_device_fps": round(device_fps, 1),
+        "loftr_device_vs_baseline": round(device_fps / 60.0, 3),
+        "loftr_e2e_fps": fps_e2e,
+        "loftr_e2e_vs_baseline": round(fps_e2e / 60.0, 3),
     }
 
 

@@ -29,6 +29,23 @@ def _pow2(n: int, floor: int = 64) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def pipe_stats(tracker) -> dict:
+    """Speculative-dispatch counters for the pipelined mode (created lazily;
+    `dispatch` = programs fired ahead of time, `hit` = consumed, `miss_*` =
+    invalidated between dispatch and consumption, `skip_*` = why no dispatch
+    happened after a frame). Reported by bench.py per VERDICT round-2 #2."""
+    s = getattr(tracker, "_pipe_stats", None)
+    if s is None:
+        s = {"dispatch": 0, "hit": 0}
+        tracker._pipe_stats = s
+    return s
+
+
+def _count(tracker, key: str) -> None:
+    s = pipe_stats(tracker)
+    s[key] = s.get(key, 0) + 1
+
+
 def applicable(tracker) -> bool:
     """Fused path preconditions: steady OK-state motion-model tracking with
     the ORB matcher (the DNN matcher has no slot-feature contract)."""
@@ -436,11 +453,14 @@ def run_steady(tracker) -> bool | None:
     tracker._pipe_spec = None
     if spec is not None:
         ctx = _ensure_ctx(tracker, m)
-        if not (
-            spec["prev_frame_id"] == tracker.last_frame.id
-            and spec["ctx"] is ctx
-            and tracker.last_frame.keypoint_map.version == 0
-        ):
+        if spec["prev_frame_id"] != tracker.last_frame.id:
+            _count(tracker, "miss_frame")
+            spec = None
+        elif spec["ctx"] is not ctx:
+            _count(tracker, "miss_ctx")
+            spec = None
+        elif tracker.last_frame.keypoint_map.version != 0:
+            _count(tracker, "miss_version")
             spec = None
     if spec is not None:
         rcap = ctx["rcap"]
@@ -451,7 +471,7 @@ def run_steady(tracker) -> bool | None:
         ext = spec["ext"]
         feats, packed_d = spec["feats"], spec["packed_d"]
         chain_px_d, chain_row_d, T2_d = spec["chain"]
-        tracker._pipe_spec_hits = getattr(tracker, "_pipe_spec_hits", 0) + 1
+        _count(tracker, "hit")
         return _replay_steady(
             tracker, m, cur, cols, ctx, rcap, nrows, ext, prev_feats,
             feats, packed_d, (chain_px_d, chain_row_d, T2_d),
@@ -747,10 +767,13 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
         or tracker.velocity is None
         or not tracker.local_keyframes
     ):
+        _count(tracker, "skip_no_chain")
         return None
     ctx = _ensure_ctx(tracker, m)
     if ctx is not ch["ctx"]:
+        _count(tracker, "skip_ctx_changed")
         return None  # window/geometry changed; chain rows are stale
+    _count(tracker, "dispatch")
     rcap = ctx["rcap"]
     nrows = len(ctx["mps"])
     ext = ch["ext"]

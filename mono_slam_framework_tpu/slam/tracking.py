@@ -197,6 +197,15 @@ class Tracking:
                             fused = fused_host.run_steady(self)
                         if fused is None:
                             fused = fused_host.run(self)
+                    else:
+                        # DNN-matcher twin of the one-step path: the whole
+                        # steady frame (encode + transformer matching +
+                        # both pose LMs) as ONE device program with ONE
+                        # readback (slam/fused_loftr.py)
+                        from mono_slam_framework_tpu.slam import fused_loftr
+
+                        if fused_loftr.applicable(self):
+                            fused = fused_loftr.run_steady(self)
                     if fused is not None:
                         ok = fused
                         fused_done = True

@@ -28,7 +28,7 @@ from mono_slam_framework_tpu.io import trajectory
 from synthetic_world import PlaneWorld, lateral_trajectory
 
 
-def build_loftr_system(world, fine: bool):
+def build_loftr_system(world, fine: bool, fused: bool = True):
     reset_frame_ids()
     reset_map_ids()
     params = SlamParameters(
@@ -38,11 +38,24 @@ def build_loftr_system(world, fine: bool):
         cy=world.cy,
         minIniMatchCount=60,
         initializerModelFallback=True,
+        fusedTracking=fused,
+        fusedOneStep=fused,
     )
     # threshold 0.1 = the reference's live DNN configuration (main.cpp:63)
     matcher = LoftrFeatureMatcher(threshold=0.1, fine=fine)
     kf_db = KeyFrameMatchDatabase(matcher)
     return System(params, matcher, kf_db, verbose=False)
+
+
+def _run_and_export(system, world, poses, tmp_path, tag):
+    system.toggle_initialization_allowed()
+    states = []
+    for i, T in enumerate(poses):
+        system.track_monocular(world.render(T), timestamp=i * 0.1)
+        states.append(system.tracker.state)
+    p = tmp_path / f"{tag}.txt"
+    system.save_trajectory_tum(str(p))
+    return states, trajectory.read_tum(str(p))
 
 
 @pytest.fixture(scope="module")
@@ -87,21 +100,24 @@ class TestLoftrPipeline:
         # but must stay subordinate to the 1.2-unit trajectory span
         assert ate < 0.2, ate
 
-    def test_coarse_only_tracks(self):
-        """fine=False (the exact reference configuration: coarse 16 px cells
-        only) must still initialize and track a short sequence."""
+    def test_fused_steady_matches_unfused(self, tmp_path):
+        """The one-program LoFTR steady path (slam/fused_loftr.py) against
+        the unfused reference-twin flow: same coarse configuration, same
+        sequence — tracking states agree and the trajectories match to well
+        under the measurement scale (pairwise scale-aligned ATE)."""
         world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
-        poses = lateral_trajectory(7, step=0.12)
-        system = build_loftr_system(world, fine=False)
-        system.toggle_initialization_allowed()
-        states = []
-        for i, T in enumerate(poses):
-            system.track_monocular(world.render(T), timestamp=i * 0.1)
-            states.append(system.tracker.state)
-        assert TrackingState.OK in states
-        first_ok = states.index(TrackingState.OK)
-        assert all(s == TrackingState.OK for s in states[first_ok:]), [
-            s.name for s in states
-        ]
-        assert system.map.n_keyframes() >= 2
-        assert system.map.n_map_points() > 50
+        poses = lateral_trajectory(8, step=0.12)
+
+        sys_u = build_loftr_system(world, fine=False, fused=False)
+        st_u, (t_u, p_u, _) = _run_and_export(sys_u, world, poses, tmp_path, "u")
+        sys_f = build_loftr_system(world, fine=False, fused=True)
+        st_f, (t_f, p_f, _) = _run_and_export(sys_f, world, poses, tmp_path, "f")
+
+        assert [s.name for s in st_f] == [s.name for s in st_u]
+        assert TrackingState.OK in st_f
+        assert sys_f.map.n_keyframes() >= 2
+        # fused-vs-unfused trajectory agreement (same bound family as the
+        # ORB parity tests in test_fused.py)
+        ate_pair, n = trajectory.ate_rmse(t_f, p_f, t_u, p_u)
+        assert n >= 5
+        assert ate_pair < 0.06, ate_pair
