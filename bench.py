@@ -175,6 +175,7 @@ def _bench_system(
     matcher_name: str = "orb",
     n_warm: int = 12,
     n_timed: int = 30,
+    step: float = 0.02,
 ):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
@@ -196,7 +197,7 @@ def _bench_system(
     from mono_slam_framework_tpu.slam.system import System
 
     world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
-    poses = lateral_trajectory(n_warm + n_timed, step=0.02)
+    poses = lateral_trajectory(n_warm + n_timed, step=step)
     images = [world.render(T) for T in poses]  # pre-render: camera not timed
 
     reset_frame_ids()
@@ -266,7 +267,10 @@ def _bench_system(
     if pipelined:
         from mono_slam_framework_tpu.slam import fused_host
 
-        extras["pipe_stats"] = dict(fused_host.pipe_stats(system.tracker))
+        extras["pipe_stats"] = {
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in fused_host.pipe_stats(system.tracker).items()
+        }
     return round(n_timed / dt, 2), stages, extras
 
 
@@ -279,6 +283,11 @@ def bench_end_to_end():
     fps_fused, stages_fused, _ = _bench_system(fused=True)
     fps_one, stages_one, ex_one = _bench_system(fused=True, one_step=True)
     fps_pipe, _, ex_pipe = _bench_system(fused=True, one_step=True, pipelined=True)
+    # keyframe-event latency: a faster trajectory so KF events (and their
+    # shape-bucket loads) land INSIDE the timed window (VERDICT r2 #4)
+    _, _, ex_kf = _bench_system(
+        fused=True, one_step=True, n_warm=8, n_timed=30, step=0.06
+    )
     return {
         "e2e_fps_2000feat": fps_ref,
         "e2e_vs_baseline": round(fps_ref / 60.0, 3),
@@ -290,8 +299,8 @@ def bench_end_to_end():
         "e2e_onestep_vs_baseline": round(fps_one / 60.0, 3),
         "e2e_onestep_stage_ms": stages_one,
         "e2e_onestep_frame_p95_ms": ex_one["frame_p95_ms"],
-        "kf_events": ex_one["kf_events"],
-        "kf_event_p95_ms": ex_one["kf_event_p95_ms"],
+        "kf_events": ex_kf["kf_events"],
+        "kf_event_p95_ms": ex_kf["kf_event_p95_ms"],
         "e2e_pipelined_fps_2000feat": fps_pipe,
         "e2e_pipelined_vs_baseline": round(fps_pipe / 60.0, 3),
         "pipe_stats": ex_pipe.get("pipe_stats", {}),

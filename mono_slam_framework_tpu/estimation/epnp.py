@@ -267,6 +267,11 @@ def solve_pnp_ransac(
         return False, None, np.zeros(N, bool)
     # adaptive parameters (PnPsolver.cc:143-161)
     n_min_inliers = max(int(N * epsilon), min_inliers, min_set)
+    if N < n_min_inliers:
+        # fewer correspondences than the required inlier support: eps would
+        # exceed 1 and the iteration formula NaNs (log of a negative) —
+        # unsolvable, reject before touching the math
+        return False, None, np.zeros(N, bool)
     eps = max(epsilon, n_min_inliers / N)
     if n_min_inliers == N:
         n_iter = 1
@@ -283,8 +288,6 @@ def solve_pnp_ransac(
     n_iter = 1 << (n_iter - 1).bit_length()
     if n_iter > max_iterations:
         n_iter = max(1, 1 << (int(max_iterations).bit_length() - 1))
-    if N < n_min_inliers:
-        return False, None, np.zeros(N, bool)
 
     cap = max(8, 1 << (N - 1).bit_length())
     Xp = np.zeros((cap, 3), np.float32)

@@ -137,18 +137,25 @@ class OrbFeatureMatcher(FeatureMatcher):
         feats = feats + [feats[0]] * (cap - n)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
         # background-compile the next stack capacity before the local map /
-        # database grows into it (no-op unless prewarming is enabled)
-        from mono_slam_framework_tpu.utils.prewarm import prewarm
+        # database grows into it (no-op unless prewarming is enabled;
+        # size-bounded — huge speculative stacks cost compiler memory for
+        # executables that may never run)
+        if cap <= 64:
+            from mono_slam_framework_tpu.utils.prewarm import prewarm
 
-        prewarm(
-            _match_many_jit,
-            jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), f1),
-            jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct((2 * cap,) + x.shape[1:], x.dtype),
-                stacked,
-            ),
-            self.threshold,
-        )
+            prewarm(
+                _match_many_jit,
+                jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), f1
+                ),
+                jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        (2 * cap,) + x.shape[1:], x.dtype
+                    ),
+                    stacked,
+                ),
+                self.threshold,
+            )
         xy1, xy2, xy1f, xy2f, oc1, oc2, ok = jax.device_get(
             _match_many_jit(f1, stacked, self.threshold)
         )

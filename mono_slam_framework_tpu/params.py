@@ -39,6 +39,13 @@ class SlamParameters:
     loopDetectionMaxFrames: int = 5
     minNumMPMatches: int = 15
 
+    # Fuse the revisit keyframe's duplicate map points into the matched old
+    # keyframe's points before the loop global BA (upstream ORB-SLAM2's
+    # SearchAndFuse step, dropped by the reference fork — without it the
+    # loop BA has no constraint tying the loop ends together). False =
+    # reference fork behavior (slam/loop_closing.py::fuse_loop_duplicates).
+    loopFuseDuplicates: bool = False
+
     # Minimum parallax (cosine bound used for triangulation gating,
     # SlamParameters.h:34).
     minimumParallax: float = 1.1

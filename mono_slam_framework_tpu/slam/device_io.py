@@ -185,13 +185,16 @@ def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
     if prewarm_shapes:
         # background-compile the next shape buckets before the map grows
         # into them (the first KF event at a new bucket otherwise stalls on
-        # a relay compile / cache load)
+        # a relay compile / cache load). Size-bounded: very large speculative
+        # buckets make the compiler itself allocate many GB (observed as a
+        # host OOM on CPU runs) for executables that may never be used.
         from mono_slam_framework_tpu.utils.prewarm import prewarm
 
         C, P = p.cam_T.shape[0], p.points.shape[0]
         E, Q = p.e_cam.shape[0], p.pair_i.shape[0]
-        prewarm(local_bundle_adjust, _ba_spec(C, P, 2 * E, 4 * Q))
-        prewarm(local_bundle_adjust, _ba_spec(2 * C, 2 * P, 2 * E, 4 * Q))
+        if E <= 1 << 15 and Q <= 1 << 20 and C <= 64:
+            prewarm(local_bundle_adjust, _ba_spec(C, P, 2 * E, 4 * Q))
+            prewarm(local_bundle_adjust, _ba_spec(2 * C, 2 * P, 2 * E, 4 * Q))
 
     T_out, X_out, bad, _ = local_bundle_adjust(p)
     T_out = np.asarray(T_out)
@@ -215,7 +218,10 @@ def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
             mp.update_normal_and_depth()
 
 
-def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> None:
+def run_global_ba(
+    map_, n_iters: int, robust: bool = True, loop_kf: int = 0,
+    cg_iters: int = 60,
+) -> None:
     """Full-map BA (Optimizer::BundleAdjustment, 71-215).
 
     loop_kf == 0 applies results directly; otherwise results are staged in
@@ -276,10 +282,13 @@ def run_global_ba(map_, n_iters: int, robust: bool = True, loop_kf: int = 0) -> 
         )
 
         T_out, X_out, _ = global_bundle_adjust_sharded(
-            make_ba_mesh(), p, n_iters=n_iters, robust=robust
+            make_ba_mesh(), p, n_iters=n_iters, robust=robust,
+            cg_iters=cg_iters,
         )
     else:
-        T_out, X_out, _ = global_bundle_adjust(p, n_iters=n_iters, robust=robust)
+        T_out, X_out, _ = global_bundle_adjust(
+            p, n_iters=n_iters, robust=robust, cg_iters=cg_iters
+        )
     T_out = np.asarray(T_out)
     X_out = np.asarray(X_out)
 

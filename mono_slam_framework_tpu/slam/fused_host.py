@@ -164,6 +164,8 @@ def _ensure_ctx(tracker, m) -> dict:
     nrm_pad[:nrows] = nrm
     maxd_pad = np.zeros(rcap, np.float32)
     maxd_pad[:nrows] = maxd
+    pos_pad = np.zeros((rcap, 3), np.float32)
+    pos_pad[:nrows] = pos
     ctx = {
         "key": ckey,
         "n_kf": n_kf,
@@ -180,6 +182,10 @@ def _ensure_ctx(tracker, m) -> dict:
         "first_slot_d": jnp.asarray(fs_pad),
         "normal_d": jnp.asarray(nrm_pad),
         "maxdist_d": jnp.asarray(maxd_pad),
+        # device-resident position table over the rcap row space: steady
+        # frames without extension rows reuse it instead of rebuilding and
+        # re-uploading mp_pos every frame (host cost + relay transfer)
+        "mp_pos_d": jnp.asarray(pos_pad),
     }
     tracker._fused_lm_ctx = ctx
     return ctx
@@ -324,51 +330,43 @@ def run(tracker) -> bool | None:
         return None
 
     ctx = _ensure_ctx(tracker, m)
+    rcap = ctx["rcap"]
+    nrows = len(ctx["mps"])
 
-    # candidate collection over the cached unique row space (the dedup
-    # marker resolves identically: first proposing KF wins the slot)
-    cand_mps, cand_slot, cand_row = [], [], []
+    # candidate mask over the cached ctx ROW space (shapes keyed to rcap —
+    # stable between keyframe events; the old per-frame compacted candidate
+    # arrays recompiled local_step on every candidate-count bucket change)
+    cand_mask = np.zeros(rcap, bool)
     for r, mp in enumerate(ctx["mps"]):
         mp.track_reference_for_frame = cur.id
         if mp.last_frame_seen != cur.id:
-            cand_mps.append(mp)
-            cand_slot.append(int(ctx["first_slot"][r]))
-            cand_row.append(r)
+            cand_mask[r] = True
 
-    # extend the row space with current-frame associations the KF tables
-    # don't cover (rare: points whose observers left the local window)
-    row_of2 = dict(ctx["row_of"])
-    mps2 = list(ctx["mps"])
-    for i in slot_of_pixel:
-        mp = cur.keypoint_map._items[i].map_point
-        if id(mp) not in row_of2:
-            row_of2[id(mp)] = len(mps2)
-            mps2.append(mp)
-
-    ccap = _pow2(len(cand_mps))
-    nc = len(cand_mps)
-    rows_arr = np.asarray(cand_row, np.int32)
-    cand_pos = np.zeros((ccap, 3), np.float32)
-    cand_normal = np.zeros((ccap, 3), np.float32)
-    cand_maxdist = np.zeros(ccap, np.float32)
-    cand_slot_arr = np.full(ccap, -1, np.int32)
-    if nc:
-        cand_pos[:nc] = ctx["pos"][rows_arr]
-        cand_normal[:nc] = ctx["normal"][rows_arr]
-        cand_maxdist[:nc] = ctx["maxdist"][rows_arr]
-        cand_slot_arr[:nc] = np.asarray(cand_slot, np.int32)
-
-    pcap2 = _pow2(len(mps2), floor=8)
-    mp_pos2 = np.zeros((pcap2, 3), np.float32)
-    nbase = len(ctx["mps"])
-    mp_pos2[:nbase] = ctx["pos"]
-    for mp in mps2[nbase:]:
-        mp_pos2[row_of2[id(mp)]] = mp.world_pos
+    # extend the row space past rcap with current-frame associations the KF
+    # tables don't cover (rare: points whose observers left the window)
+    ext: list = []
+    ext_rows: dict = {}
+    def row_of_mp(mp):
+        r = ctx["row_of"].get(id(mp))
+        if r is not None:
+            return r
+        r = ext_rows.get(id(mp))
+        if r is None:
+            r = rcap + len(ext)
+            ext_rows[id(mp)] = r
+            ext.append(mp)
+        return r
 
     k_slots = cur_xy_f.shape[0]
     cur_row = np.full(k_slots, -1, np.int32)
     for pix, s in slot_of_pixel.items():
-        cur_row[s] = row_of2[id(cur.keypoint_map._items[pix].map_point)]
+        cur_row[s] = row_of_mp(cur.keypoint_map._items[pix].map_point)
+
+    pcap2 = _pow2(rcap + len(ext))
+    mp_pos2 = np.zeros((pcap2, 3), np.float32)
+    mp_pos2[:nrows] = ctx["pos"]
+    for j, mp in enumerate(ext):
+        mp_pos2[rcap + j] = mp.world_pos
 
     packed2_d = fused_tracking.local_step(
         feats,
@@ -377,10 +375,10 @@ def run(tracker) -> bool | None:
         ctx["kf_feats"],
         ctx["kf_px"],
         ctx["kf_row"],
-        jnp.asarray(cand_pos),
-        jnp.asarray(cand_normal),
-        jnp.asarray(cand_maxdist),
-        jnp.asarray(cand_slot_arr),
+        jnp.asarray(cand_mask),
+        ctx["first_slot_d"],
+        ctx["normal_d"],
+        ctx["maxdist_d"],
         jnp.asarray(mp_pos2),
         T1_d,
         jnp.asarray(tracker.K, jnp.float32),
@@ -397,12 +395,15 @@ def run(tracker) -> bool | None:
     vis = p2[17 + 2 * k_slots :] > 0.5
 
     # frustum-visible candidates observed (Tracking.cc:612-616)
-    for i in np.nonzero(vis[: len(cand_mps)])[0]:
-        cand_mps[i].increase_visible()
+    for r in np.nonzero(vis[:nrows])[0]:
+        ctx["mps"][r].increase_visible()
+
+    def mp_of_row(r: int):
+        return ctx["mps"][r] if r < nrows else ext[r - rcap]
 
     # replay new associations (first-wins already resolved on device)
     for s in np.nonzero(new_row >= 0)[0]:
-        mp = mps2[new_row[s]]
+        mp = mp_of_row(new_row[s])
         px = (int(cur_xy_i[s, 0]), int(cur_xy_i[s, 1]))
         cur.keypoint_map.set_map_point(
             px, mp,
@@ -532,18 +533,22 @@ def run_steady(tracker) -> bool | None:
                     ext.append(mp)
             prev_px[i] = idx
             prev_row[i] = r
-    pcap = _pow2(rcap + len(ext))
-    mp_pos = np.zeros((pcap, 3), np.float32)
-    mp_pos[:nrows] = ctx["pos"]
-    for j, mp in enumerate(ext):
-        mp_pos[rcap + j] = mp.world_pos
+    if ext:
+        pcap = _pow2(rcap + len(ext))
+        mp_pos = np.zeros((pcap, 3), np.float32)
+        mp_pos[:nrows] = ctx["pos"]
+        for j, mp in enumerate(ext):
+            mp_pos[rcap + j] = mp.world_pos
+        mp_pos_d = jnp.asarray(mp_pos)
+    else:
+        mp_pos_d = ctx["mp_pos_d"]  # cached device table (pcap == rcap)
 
     feats, packed_d, chain_px_d, chain_row_d, T2_d = fused_tracking.steady_step(
         img_d,
         prev_feats,
         jnp.asarray(prev_px),
         jnp.asarray(prev_row),
-        jnp.asarray(mp_pos),
+        mp_pos_d,
         jnp.asarray(T_init),
         ctx["kf_feats"],
         ctx["kf_px"],
@@ -785,18 +790,22 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
         T2_d, jnp.asarray(ch["T_prev_host"])
     )
 
-    pcap = _pow2(rcap + len(ext))
-    mp_pos = np.zeros((pcap, 3), np.float32)
-    mp_pos[:nrows] = ctx["pos"]
-    for j, mp in enumerate(ext):
-        mp_pos[rcap + j] = mp.world_pos
+    if ext:
+        pcap = _pow2(rcap + len(ext))
+        mp_pos = np.zeros((pcap, 3), np.float32)
+        mp_pos[:nrows] = ctx["pos"]
+        for j, mp in enumerate(ext):
+            mp_pos[rcap + j] = mp.world_pos
+        mp_pos_d = jnp.asarray(mp_pos)
+    else:
+        mp_pos_d = ctx["mp_pos_d"]  # cached device table (pcap == rcap)
 
     feats, packed_d, npx_d, nrow_d, nT2_d = fused_tracking.steady_step(
         img_d,
         prev_feats,
         chain_px_d,
         chain_row_d,
-        jnp.asarray(mp_pos),
+        mp_pos_d,
         T_init_d,
         ctx["kf_feats"],
         ctx["kf_px"],

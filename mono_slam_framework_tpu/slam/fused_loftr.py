@@ -133,10 +133,10 @@ def steady_step_loftr(
         c = loftr_native.confidence_from_features(params, f_cur, f_kf[None])[0]
         j = jnp.argmax(c, axis=1)
         v = jnp.take_along_axis(c, j[:, None], axis=1)[:, 0]
-        r = jnp.where((v > threshold) & active, cellrow_kf[j], NONE)
-        # only frustum-visible, not-yet-seen candidates may be proposed
-        # (SearchLocalPoints contract, Tracking.cc:589-616)
-        return jnp.where((r >= 0) & vis[jnp.clip(r, 0)], r, NONE)
+        # proposals are NOT restricted to visible candidates — the unfused
+        # SearchLocalPoints associates ANY map point of a matched keyframe
+        # (Tracking.cc:620-631); vis only gates which KFs are matched
+        return jnp.where((v > threshold) & active, cellrow_kf[j], NONE)
 
     rows_nk = jax.lax.map(one_kf, (kf_feats, kf_cellrow, kf_active))  # [N,L]
 

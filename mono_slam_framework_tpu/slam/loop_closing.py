@@ -23,6 +23,7 @@ class LoopClosing:
         self.matcher = feature_matcher
         self.loop_detection_max_frames = params.loopDetectionMaxFrames
         self.min_num_mp_matches = params.minNumMPMatches
+        self.fuse_duplicates = getattr(params, "loopFuseDuplicates", False)
         self.queue: list = []
         self.last_loop_kf_id = 0
         self.full_ba_idx = False
@@ -82,16 +83,69 @@ class LoopClosing:
         """LoopClosing.cc:101-115."""
         self._log("Loop detected!")
         self.full_ba_idx = True
+        if self.fuse_duplicates:
+            self.fuse_loop_duplicates()
         self.current_kf.update_connections()
         self.run_global_bundle_adjustment(self.current_kf.id)
         if self.local_mapper is not None:
             self.local_mapper.release()
         self.last_loop_kf_id = self.current_kf.id
 
+    def fuse_loop_duplicates(self) -> None:
+        """Fuse the revisit keyframe's duplicate map points into the matched
+        (old) keyframe side's points, creating real cross-loop observations.
+
+        Opt-in restoration of upstream ORB-SLAM2's loop SearchAndFuse step
+        (its LoopClosing::CorrectLoop calls SearchAndFuse before the loop
+        BA), which the reference fork dropped — without it the global BA has
+        NO constraint tying the loop ends together: the detected loop stays
+        double-mapped and the correction cannot remove accumulated drift.
+        Like upstream, the fuse covers the matched keyframe AND its best
+        covisibles (one batched matcher call), so the loop gets pulled by
+        tens of constraints rather than a single pair.
+        `SlamParameters.loopFuseDuplicates` (default False = fork behavior).
+        """
+        targets = [self.matched_kf] + [
+            kf
+            for kf in self.matched_kf.get_best_covisibles(10)
+            if not kf.is_bad
+        ]
+        results = self.matcher.match_against_many(self.current_kf, targets)
+        n_fused = 0
+        for res in results:
+            for i in range(res.num_matches):
+                mp_new = res.get_map_point1(i)
+                mp_old = res.get_map_point2(i)
+                if (
+                    mp_new is None
+                    or mp_old is None
+                    or mp_new is mp_old
+                    or mp_new.is_bad
+                    or mp_old.is_bad
+                ):
+                    continue
+                # the OLD point survives (it anchors the older, less-drifted
+                # geometry and usually carries more observations)
+                mp_new.replace(mp_old)
+                n_fused += 1
+        self._log(f"Loop fuse: {n_fused} duplicate map points merged")
+
     def run_global_bundle_adjustment(self, loop_kf_id: int) -> None:
-        """Global BA + spanning-tree propagation (LoopClosing.cc:122-199)."""
+        """Global BA + spanning-tree propagation (LoopClosing.cc:122-199).
+
+        With loop fusion on, the BA must propagate a whole loop-gap
+        correction down the keyframe chain from freshly-fused, very-large
+        residuals — that needs more LM steps and a deeper CG solve than the
+        reference's polish-only schedule (its 10 iterations assume Sim3
+        pre-alignment upstream, which the fork dropped)."""
         self._log("Starting Global Bundle Adjustment")
-        run_global_ba(self.map, n_iters=10, robust=False, loop_kf=loop_kf_id)
+        if self.fuse_duplicates:
+            run_global_ba(
+                self.map, n_iters=25, robust=False, loop_kf=loop_kf_id,
+                cg_iters=200,
+            )
+        else:
+            run_global_ba(self.map, n_iters=10, robust=False, loop_kf=loop_kf_id)
         self._log("Global Bundle Adjustment finished")
         self._log("Updating map ...")
 

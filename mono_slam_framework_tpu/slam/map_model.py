@@ -25,6 +25,43 @@ from mono_slam_framework_tpu.slam.frame import Frame, FrameBase
 COVIS_THRESHOLD = 15  # KeyFrame.cc:223
 
 
+class _OrderedSet:
+    """Insertion-ordered object set (dict-backed).
+
+    A plain `set` of objects iterates in address-hash order, which varies
+    run to run — the KF/MP sets and spanning-tree children feed walk orders
+    into tracking decisions (local windows, culling sweeps), making whole
+    pipeline runs non-reproducible. Dict-backed insertion order restores
+    determinism at identical cost.
+    """
+
+    __slots__ = ("_d",)
+
+    def __init__(self):
+        self._d: dict = {}
+
+    def add(self, x) -> None:
+        self._d[x] = None
+
+    def discard(self, x) -> None:
+        self._d.pop(x, None)
+
+    def clear(self) -> None:
+        self._d.clear()
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __contains__(self, x) -> bool:
+        return x in self._d
+
+    def __bool__(self) -> bool:
+        return bool(self._d)
+
+
 def _try_native_graph():
     try:
         from mono_slam_framework_tpu import native
@@ -38,8 +75,8 @@ def _try_native_graph():
 
 class Map:
     def __init__(self, use_native_graph: bool = True):
-        self.keyframes: set = set()
-        self.map_points: set = set()
+        self.keyframes: "_OrderedSet" = _OrderedSet()
+        self.map_points: "_OrderedSet" = _OrderedSet()
         self.max_kf_id = 0
         self.big_change_idx = 0
         # bumped on every map-point position/normal change; device-side
@@ -256,7 +293,7 @@ class KeyFrame(FrameBase):
         self.ordered_covisibles: list = []
         self.ordered_weights: list = []
         self.parent: Optional["KeyFrame"] = None
-        self.children: set = set()
+        self.children: "_OrderedSet" = _OrderedSet()
         self.first_connection = True
         self.not_erase = False
         self.to_be_erased = False

@@ -47,23 +47,26 @@ class PlaneWorld:
             # (KNOWN_ISSUES.md). Here the base field is bilinear noise at an
             # irrational texel pitch and the corner-rich blobs are ROTATED
             # squares at float positions, so no corner sits on any lattice.
-            pitch = 16.37
-            coarse = rng.uniform(40, 215, (160, 160))
             yy, xx = np.meshgrid(
                 np.arange(tex_size), np.arange(tex_size), indexing="ij"
             )
-            sy = yy / pitch
-            sx = xx / pitch
-            y0 = np.floor(sy).astype(int) % 159
-            x0 = np.floor(sx).astype(int) % 159
-            fy = (sy - np.floor(sy)).astype(np.float32)
-            fx = (sx - np.floor(sx)).astype(np.float32)
-            tex = (
-                coarse[y0, x0] * (1 - fx) * (1 - fy)
-                + coarse[y0, x0 + 1] * fx * (1 - fy)
-                + coarse[y0 + 1, x0] * (1 - fx) * fy
-                + coarse[y0 + 1, x0 + 1] * fx * fy
-            )
+
+            def _bilin_noise(pitch, lo, hi, n, sd):
+                g = np.random.default_rng(sd).uniform(lo, hi, (n, n))
+                sy = yy / pitch
+                sx = xx / pitch
+                y0 = np.floor(sy).astype(int) % (n - 1)
+                x0 = np.floor(sx).astype(int) % (n - 1)
+                fy = (sy - np.floor(sy)).astype(np.float32)
+                fx = (sx - np.floor(sx)).astype(np.float32)
+                return (
+                    g[y0, x0] * (1 - fx) * (1 - fy)
+                    + g[y0, x0 + 1] * fx * (1 - fy)
+                    + g[y0 + 1, x0] * (1 - fx) * fy
+                    + g[y0 + 1, x0 + 1] * fx * fy
+                )
+
+            tex = _bilin_noise(16.37, 40, 215, 160, seed)
             for _ in range(900):
                 cy = rng.uniform(20, tex_size - 20)
                 cx_ = rng.uniform(20, tex_size - 20)
@@ -83,6 +86,12 @@ class PlaneWorld:
                 v = -sa * px + ca * py
                 mask = (np.abs(u) <= s / 2) & (np.abs(v) <= s / 2)
                 tex[ylo:yhi, xlo:xhi][mask] = level
+            # fine decorrelation layer over everything (blobs included):
+            # without it the rotated blobs are too self-similar and the
+            # Lowe ratio test rejects most matches (descriptor ambiguity)
+            tex = np.clip(
+                tex + _bilin_noise(3.71, -30, 30, 640, seed + 1), 0, 255
+            )
         else:
             # feature-rich blocky texture: upsampled random grid + salt blocks
             coarse = rng.uniform(0, 255, (tex_size // 16, tex_size // 16))
@@ -144,6 +153,36 @@ class PlaneWorld:
         # invalid (behind camera) -> mid gray
         img = np.where(t > 0, img, 128.0)
         return img.astype(np.float32)
+
+
+def rect_loop_trajectory(lx: float, ly: float, step: float):
+    """Rectangular 'lawnmower' loop in the x-y plane, camera always facing
+    +z: right along y=0, up, left along y=ly, back down to the start. With
+    ly larger than the viewport height the return strip shares no view with
+    the outbound strip, so a SLAM run double-maps the start area and the
+    final descent produces a genuine loop-closure situation (image match
+    without covisibility)."""
+    waypoints = [
+        (0.0, 0.0),
+        (lx, 0.0),
+        (lx, ly),
+        (0.0, ly),
+        (0.0, 0.0),
+    ]
+    centers = []
+    for (x0, y0), (x1, y1) in zip(waypoints[:-1], waypoints[1:]):
+        seg = np.hypot(x1 - x0, y1 - y0)
+        n = max(2, int(np.ceil(seg / step)))
+        for i in range(n):
+            t = i / n
+            centers.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+    centers.append((0.0, 0.0))
+    poses = []
+    for cx_, cy_ in centers:
+        Tcw = np.eye(4)
+        Tcw[:3, 3] = [-cx_, -cy_, 0.0]
+        poses.append(Tcw.astype(np.float32))
+    return poses
 
 
 def lateral_trajectory(n_frames: int, step: float = 0.06, yaw_step: float = 0.0):

@@ -169,7 +169,13 @@ class TestPipelined:
         assert final is not None and final["state"] == "OK"
         # speculation consumed on the truly-steady frames (each KF event
         # legitimately breaks the chain for one frame on this KF-heavy world)
-        assert getattr(sys_pipe.tracker, "_pipe_spec_hits", 0) >= 5
+        from mono_slam_framework_tpu.slam import fused_host
+
+        stats = fused_host.pipe_stats(sys_pipe.tracker)
+        assert stats.get("hit", 0) >= 5
+        # every consumed dispatch is accounted: hits + misses <= dispatches
+        misses = sum(v for k, v in stats.items() if k.startswith("miss_"))
+        assert stats.get("hit", 0) + misses <= stats.get("dispatch", 0)
 
     def test_trajectory_matches_one_step(self, runs, tmp_path):
         world, poses, sys_one, sys_pipe, _, _ = runs
