@@ -36,6 +36,10 @@ SCALE_FACTOR = 1.2
 PATCH_RADIUS = 15  # intensity-centroid patch (HALF_PATCH_SIZE)
 BORDER = 31  # edgeThreshold
 N_BITS = 256
+# max |rotated rBRIEF offset|: pattern points are clipped to [-13,13] and
+# |round(13*cos + 13*sin)| <= round(13*sqrt(2)) = 18
+DESC_R = 18
+DESC_P = 2 * DESC_R + 1
 
 
 class Features(NamedTuple):
@@ -113,13 +117,46 @@ def _moment_maps(img):
     return out[0], out[1]
 
 
-def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
-    """Detection + orientation + descriptors for one pyramid level.
+def _rotated_offsets(ang):
+    """Rotated rBRIEF sample offsets for per-keypoint angles ang [...]:
+    (ry, rx) int32 [..., 256] in [-DESC_R, DESC_R], plus the bit-pair perm."""
+    pts_np, perm_np = _brief_pattern_np()
+    pat = jnp.asarray(pts_np)  # [256, 2] (yx)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    py = pat[None, :, 0]
+    px = pat[None, :, 1]
+    rx = jnp.round(px * c[..., None] - py * s[..., None]).astype(jnp.int32)
+    ry = jnp.round(px * s[..., None] + py * c[..., None]).astype(jnp.int32)
+    return ry, rx, jnp.asarray(perm_np)
+
+
+def _pack_bits(samples, perm):
+    """Bit i compares sample point i against point perm[i]; pack to u32[...,8]."""
+    bits = (samples < samples[..., perm]).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)  # broadcasts over leading dims
+    return jnp.sum(
+        bits.reshape(*samples.shape[:-1], 8, 32) << shifts,
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+
+
+def _extract_level(
+    img_l, k_l: int, fast_threshold: float, use_fused: bool, onehot_desc: bool
+):
+    """Detection + orientation (+ descriptors on the gather path) for one
+    pyramid level.
 
     Runs at the level's true resolution (padding the stack to level-0 size
     costs 2.5x the pixels and measures slower on TPU than 8 lean per-level
     programs fused into one jit). On TPU the full-image stage (FAST + Harris
     + NMS + moments + blur) is one fused Pallas kernel (ops/pallas_detect).
+
+    Returns (xs, ys, xs_f, ys_f, ang, desc, vals, valid, slab): on the
+    gather path `desc` is the packed [k,8] u32 descriptor and `slab` is
+    None; with `onehot_desc` the descriptor moves to a level-batched MXU
+    stage in `extract` and `slab` is the row-selected blur slab
+    [k, DESC_P, w] (bf16; rows ys-18..ys+18, border-clipped).
     """
     h, w = img_l.shape
     if use_fused:
@@ -175,25 +212,83 @@ def _extract_level(img_l, k_l: int, fast_threshold: float, use_fused: bool):
     # orientation via the moment maps (2 gathers per keypoint)
     flat = ys * w + xs
     ang = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
-    # descriptors: 256 shared rotated sample points per keypoint; bit i
-    # compares point i against point perm[i] (halves the dominant gather)
-    pts_np, perm_np = _brief_pattern_np()
-    pat = jnp.asarray(pts_np)  # [256, 2] (yx)
-    perm = jnp.asarray(perm_np)
-    c, s = jnp.cos(ang), jnp.sin(ang)  # [k]
-    py = pat[None, :, 0]
-    px = pat[None, :, 1]
-    rx = jnp.round(px * c[:, None] - py * s[:, None]).astype(jnp.int32)
-    ry = jnp.round(px * s[:, None] + py * c[:, None]).astype(jnp.int32)
+
+    # descriptors sample the blur ROUNDED to integers: ints <= 255 are exact
+    # in bf16, which makes the MXU one-hot sampling path below bit-identical
+    # to the gather path (QUIRKS.md: quantized-blur rBRIEF)
+    blur_q = jnp.round(blur)
+
+    if onehot_desc:
+        # stage 1 of the one-hot MXU descriptor: select each keypoint's
+        # DESC_P blur rows as one bf16 matmul (XLA's per-element gather is
+        # ~7 ns/sample on TPU; one-hot matmuls beat it ~4x end to end)
+        rows = jnp.clip(
+            ys[:, None] + jnp.arange(-DESC_R, DESC_R + 1)[None, :], 0, h - 1
+        )  # [k, P]
+        Ey = (rows[:, :, None] == jnp.arange(h)[None, None, :]).astype(
+            jnp.bfloat16
+        )
+        slab = jnp.einsum(
+            "kph,hw->kpw",
+            Ey,
+            blur_q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        return xs, ys, xs_f, ys_f, ang, None, vals, valid, slab
+
+    # gather path (fast on CPU; reference for the one-hot path)
+    ry, rx, perm = _rotated_offsets(ang)
     sx = jnp.clip(xs[:, None] + rx, 0, w - 1)  # [k,256]
     sy = jnp.clip(ys[:, None] + ry, 0, h - 1)
-    samples = blur.reshape(-1)[((sy * w) + sx).reshape(-1)].reshape(k_l, N_BITS)
-    bits = (samples < samples[:, perm]).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(
-        bits.reshape(k_l, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
+    samples = blur_q.reshape(-1)[((sy * w) + sx).reshape(-1)].reshape(k_l, N_BITS)
+    packed = _pack_bits(samples, perm)
+    return xs, ys, xs_f, ys_f, ang, packed, vals, valid, None
+
+
+def _describe_onehot(slabs, all_xs, all_ang, dims, budgets, w0):
+    """Stages 2-3 of the one-hot MXU descriptor, batched over ALL levels.
+
+    slabs: per-level [k_l, DESC_P, w_l] bf16 blur-row slabs (stage 1).
+    Column selection and in-patch rotated sampling are one-hot bf16 matmuls
+    (exact: blur values are integers <= 255, exactly representable in bf16),
+    so the result is bit-identical to the per-element gather path while the
+    work rides the MXU instead of XLA's scalar gather lowering.
+    """
+    P = DESC_P
+    slab = jnp.concatenate(
+        [jnp.pad(s, ((0, 0), (0, 0), (0, w0 - s.shape[2]))) for s in slabs]
+    )  # [K, P, w0]
+    xs = jnp.concatenate(all_xs)  # [K]
+    ang = jnp.concatenate(all_ang)
+    wl = jnp.asarray(
+        np.concatenate(
+            [np.full(budgets[l], dims[l][1], np.int32) for l in range(N_LEVELS)]
+        )
     )
-    return xs, ys, xs_f, ys_f, ang, packed, vals, valid
+    # stage 2: per-keypoint column one-hot -> [K, P, P] patch
+    cols = jnp.clip(
+        xs[:, None] - DESC_R + jnp.arange(P)[None, :], 0, wl[:, None] - 1
+    )  # [K, P]
+    Ex = (cols[:, :, None] == jnp.arange(w0)[None, None, :]).astype(jnp.bfloat16)
+    patch = jnp.einsum(
+        "kpw,kqw->kpq", slab, Ex, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    # stage 3: rotated sample points as separable one-hots over the patch.
+    # Row/col clips compose exactly with the final-coordinate clip of the
+    # gather path: patch[p, q] = blur[clip(y-R+p), clip(x-R+q)] and
+    # p = ry+R, q = rx+R with |ry|,|rx| <= R.
+    ry, rx, perm = _rotated_offsets(ang)  # [K, 256]
+    Oy = ((ry + DESC_R)[:, :, None] == jnp.arange(P)[None, None, :]).astype(
+        jnp.bfloat16
+    )
+    Ox = ((rx + DESC_R)[:, :, None] == jnp.arange(P)[None, None, :]).astype(
+        jnp.bfloat16
+    )
+    tmp = jnp.einsum(
+        "ksp,kpq->ksq", Oy, patch, preferred_element_type=jnp.float32
+    )  # [K, 256, P]
+    samples = jnp.einsum("ksq,ksq->ks", tmp, Ox.astype(jnp.float32))
+    return _pack_bits(samples, perm)
 
 
 def extract(
@@ -201,29 +296,36 @@ def extract(
     max_features: int,
     fast_threshold: float = 20.0,
     use_fused: bool | None = None,
+    onehot_desc: bool | None = None,
 ) -> Features:
     """ORB features over an 8-level pyramid. img: [H, W] f32 grayscale.
 
     Jit-friendly: static shapes throughout; returns exactly the summed
     per-level budgets worth of slots with a validity mask. `use_fused`
-    selects the Pallas fused detection kernel (default: on TPU backends).
+    selects the Pallas fused detection kernel (default: on TPU backends);
+    `onehot_desc` selects the MXU one-hot descriptor sampling (default:
+    follows use_fused — XLA's gather lowering is the dominant extract cost
+    on TPU, while the gather path wins on CPU). Both descriptor paths are
+    bit-identical (quantized-blur rBRIEF, see QUIRKS.md).
     """
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
+    if onehot_desc is None:
+        onehot_desc = use_fused
     h0, w0 = img.shape
     dims = _level_dims(h0, w0)
     budgets = _per_level_budget(max_features)
 
     all_xy, all_ang, all_desc, all_score, all_valid = [], [], [], [], []
-    all_oct = []
+    all_oct, all_xs, slabs = [], [], []
     for l in range(N_LEVELS):
         scale = SCALE_FACTOR**l
         if l == 0:
             img_l = img
         else:
             img_l = filters.resize_bilinear(img, dims[l])
-        xs, ys, xs_f, ys_f, ang, desc, vals, valid = _extract_level(
-            img_l, budgets[l], fast_threshold, use_fused
+        xs, ys, xs_f, ys_f, ang, desc, vals, valid, slab = _extract_level(
+            img_l, budgets[l], fast_threshold, use_fused, onehot_desc
         )
         xy0 = jnp.stack([xs_f, ys_f], -1) * scale
         all_xy.append(xy0)
@@ -232,11 +334,18 @@ def extract(
         all_score.append(jnp.where(valid, vals, -jnp.inf))
         all_valid.append(valid)
         all_oct.append(jnp.full((budgets[l],), l, jnp.int32))
+        all_xs.append(xs)
+        slabs.append(slab)
 
+    desc = (
+        _describe_onehot(slabs, all_xs, all_ang, dims, budgets, w0)
+        if onehot_desc
+        else jnp.concatenate(all_desc)
+    )
     return Features(
         xy=jnp.concatenate(all_xy),
         angle=jnp.concatenate(all_ang),
-        desc=jnp.concatenate(all_desc),
+        desc=desc,
         score=jnp.concatenate(all_score),
         valid=jnp.concatenate(all_valid),
         octave=jnp.concatenate(all_oct),

@@ -88,6 +88,18 @@ class TestOrbExtract:
         good = (np.abs(dx - shift) <= 2) & (np.abs(dy) <= 2)
         assert good.mean() > 0.7
 
+    def test_onehot_descriptor_path_bit_identical(self, rng):
+        """The MXU one-hot descriptor sampling (the TPU default) must be
+        bit-identical to the gather path (the CPU default): blur is rounded
+        to integers, which bf16 represents exactly, so the one-hot matmul
+        chain selects exactly the gathered values (ops/orb.py DESC_R
+        contract)."""
+        img = jnp.asarray(textured_image(rng, h=160, w=192))
+        fa = orb.extract(img, 120, use_fused=False, onehot_desc=False)
+        fb = orb.extract(img, 120, use_fused=False, onehot_desc=True)
+        np.testing.assert_array_equal(np.asarray(fa.desc), np.asarray(fb.desc))
+        np.testing.assert_array_equal(np.asarray(fa.xy), np.asarray(fb.xy))
+
     def test_ratio_test_rejects_unrelated_images(self, rng):
         img1 = jnp.asarray(textured_image(rng))
         rng2 = np.random.default_rng(999)
