@@ -254,7 +254,6 @@ def _describe_onehot(slabs, all_xs, all_ang, dims, budgets, w0):
     so the result is bit-identical to the per-element gather path while the
     work rides the MXU instead of XLA's scalar gather lowering.
     """
-    P = DESC_P
     slab = jnp.concatenate(
         [jnp.pad(s, ((0, 0), (0, 0), (0, w0 - s.shape[2]))) for s in slabs]
     )  # [K, P, w0]
@@ -265,6 +264,12 @@ def _describe_onehot(slabs, all_xs, all_ang, dims, budgets, w0):
             [np.full(budgets[l], dims[l][1], np.int32) for l in range(N_LEVELS)]
         )
     )
+    return _describe_onehot_core(slab, xs, ang, wl, w0)
+
+
+def _describe_onehot_core(slab, xs, ang, wl, w0):
+    """One-hot MXU descriptor stages 2-3 over a w0-wide slab [K, P, w0]."""
+    P = DESC_P
     # stage 2: per-keypoint column one-hot -> [K, P, P] patch
     cols = jnp.clip(
         xs[:, None] - DESC_R + jnp.arange(P)[None, :], 0, wl[:, None] - 1
@@ -291,6 +296,201 @@ def _describe_onehot(slabs, all_xs, all_ang, dims, budgets, w0):
     return _pack_bits(samples, perm)
 
 
+@functools.lru_cache(maxsize=None)
+def _kp_level_tables(h0: int, w0: int, max_features: int):
+    """Static per-keypoint level-geometry arrays (level-major layout)."""
+    from mono_slam_framework_tpu.ops import pallas_detect
+
+    dims = _level_dims(h0, w0)
+    budgets = _per_level_budget(max_features)
+    _, _, _, starts, _, _, _ = pallas_detect._band_layout(tuple(dims))
+    rep = lambda vals, dt: np.concatenate(
+        [np.full(budgets[l], vals[l], dt) for l in range(N_LEVELS)]
+    )
+    return (
+        rep(starts, np.int32),  # base output row of each kp's level
+        rep([h for h, _ in dims], np.int32),
+        rep([w for _, w in dims], np.int32),
+        rep([SCALE_FACTOR**l for l in range(N_LEVELS)], np.float32),
+        rep(list(range(N_LEVELS)), np.int32),
+    )
+
+
+def _bilinear_weight_mat(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] bilinear (antialiased triangle) resize weights — the numpy
+    twin of jax.image.resize(..., method="bilinear")'s per-axis weight
+    matrix (jax._src.image.scale.compute_weight_mat with scale=out/in,
+    translation 0). Kept in numpy so the lru-cached table build never
+    touches a jax backend (the relay-cached CPU AOT executables are built
+    for a different host CPU)."""
+    scale = out_size / in_size
+    inv_scale = 1.0 / scale
+    kernel_scale = max(inv_scale, 1.0)  # antialias widens when downscaling
+    sample_f = (np.arange(out_size) + 0.5) * inv_scale - 0.5
+    x = (
+        np.abs(sample_f[:, None] - np.arange(in_size)[None, :]) / kernel_scale
+    )
+    weights = np.maximum(0.0, 1.0 - x)
+    total = weights.sum(axis=1, keepdims=True)
+    weights = np.where(np.abs(total) > 1e-6, weights / total, 0.0)
+    ok = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    return (weights * ok[:, None]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_band_tables(h0: int, w0: int):
+    """Static tables that turn the pyramid build + band gather into two
+    batched MXU matmuls and one row-take.
+
+    Returns (Vx [L, w0, w0], Ry [L, R, h0], take_idx [B, WORK], R): per-level
+    column/row resize weight matrices (rows past the level's true size are
+    zero); bilinear resize is linear, so applying these matrices reproduces
+    jax.image.resize per axis. take_idx maps each band work-window row to a
+    row of the flattened [L*R (+1 zero row), w0] level stack.
+    """
+    from mono_slam_framework_tpu.ops import pallas_detect
+
+    dims = _level_dims(h0, w0)
+    BL, HALO = pallas_detect.BLOCK, pallas_detect.HALO
+    WORK = BL + 2 * HALO
+    nb = [-(-h // BL) for h, _ in dims]
+    R = max(nb) * BL
+    L = N_LEVELS
+    Vx = np.zeros((L, w0, w0), np.float32)
+    Ry = np.zeros((L, R, h0), np.float32)
+    for l, (h_l, w_l) in enumerate(dims):
+        Vx[l, :w_l] = _bilinear_weight_mat(w0, w_l)
+        Ry[l, :h_l] = _bilinear_weight_mat(h0, h_l)
+    zero_row = L * R
+    take = np.full((sum(nb), WORK), zero_row, np.int32)
+    b = 0
+    for l, (h_l, _) in enumerate(dims):
+        for bb in range(nb[l]):
+            rows = bb * BL - HALO + np.arange(WORK)
+            ok = (rows >= 0) & (rows < h_l)
+            take[b, ok] = l * R + rows[ok]
+            b += 1
+    return Vx, Ry, take, R
+
+
+def _extract_multi(
+    img, max_features: int, fast_threshold: float, interpret: bool = False
+) -> Features:
+    """TPU extraction with ALL pyramid levels' detection in ONE pallas
+    launch and the post-detection stages batched across levels.
+
+    Numerically identical to the per-level fused path (same per-band kernel
+    math, same one-hot descriptor); the per-level path serializes 8 pallas
+    launches + 8 small XLA op chains, which is latency-bound on TPU.
+    """
+    from mono_slam_framework_tpu.ops import pallas_detect
+
+    h0, w0 = img.shape
+    dims = _level_dims(h0, w0)
+    budgets = _per_level_budget(max_features)
+    # pyramid build + band-window gather as two batched MXU matmuls + one
+    # take (7 sequential jax.image.resize ops measured ~1.2 ms on-device;
+    # this is ~0.1 ms). HIGHEST precision keeps f32 resize numerics.
+    Vx, Ry, take_idx, R = _resize_band_tables(h0, w0)
+    hi = jax.lax.Precision.HIGHEST
+    x_stack = jnp.einsum(
+        "hw,lxw->lhx", img.astype(jnp.float32), jnp.asarray(Vx), precision=hi
+    )
+    lvl = jnp.einsum("lrh,lhx->lrx", jnp.asarray(Ry), x_stack, precision=hi)
+    flat_rows = jnp.concatenate(
+        [lvl.reshape(N_LEVELS * R, w0), jnp.zeros((1, w0), jnp.float32)]
+    )
+    img_bands = flat_rows[jnp.asarray(take_idx)]  # [B, WORK, w0]
+    (score, m10, m01, blur, harris), starts = (
+        pallas_detect.detect_stage_multi_bands(
+            img_bands, dims, fast_threshold, BORDER, interpret=interpret
+        )
+    )
+    W = score.shape[1]
+    BL = pallas_detect.BLOCK
+
+    # per-level top-k over the level's band rows (pad rows/cols are -inf)
+    vals_l, ys_l, xs_l = [], [], []
+    for l in range(N_LEVELS):
+        nb = -(-dims[l][0] // BL)
+        seg = jax.lax.slice_in_dim(score, starts[l], starts[l] + nb * BL)
+        v, flat = jax.lax.approx_max_k(
+            seg.reshape(-1), budgets[l], recall_target=0.95
+        )
+        ys_lvl = flat // W
+        vals_l.append(v)
+        ys_l.append(ys_lvl)
+        xs_l.append(flat - ys_lvl * W)
+    vals = jnp.concatenate(vals_l)
+    ys = jnp.concatenate(ys_l)  # level-local rows
+    xs = jnp.concatenate(xs_l)
+    valid = jnp.isfinite(vals)
+
+    base_np, hl_np, wl_np, scale_np, oct_np = _kp_level_tables(
+        h0, w0, max_features
+    )
+    base = jnp.asarray(base_np)
+    hl = jnp.asarray(hl_np)
+    wl = jnp.asarray(wl_np)
+
+    # subpixel peak refinement on the concatenated Harris surface — one
+    # gather per tap for ALL levels' keypoints
+    hf = harris.reshape(-1)
+
+    def at(dy, dx):
+        yy2 = base + jnp.clip(ys + dy, 0, hl - 1)
+        xx2 = jnp.clip(xs + dx, 0, wl - 1)
+        return hf[yy2 * W + xx2]
+
+    c0 = at(0, 0)
+
+    def offset(m, p):
+        denom = m - 2.0 * c0 + p
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        return jnp.clip(0.5 * (m - p) / denom, -0.5, 0.5)
+
+    xs_f = xs.astype(jnp.float32) + offset(at(0, -1), at(0, 1))
+    ys_f = ys.astype(jnp.float32) + offset(at(-1, 0), at(1, 0))
+
+    flat = (base + ys) * W + xs
+    ang = jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
+
+    # descriptors: quantized blur (ints exact in bf16 -> MXU one-hot path
+    # bit-identical to the gather path)
+    blur_q = jnp.round(blur)
+    slabs = []
+    for l in range(N_LEVELS):
+        h_l = dims[l][0]
+        seg = jax.lax.slice_in_dim(blur_q, starts[l], starts[l] + h_l)
+        rows = jnp.clip(
+            ys_l[l][:, None] + jnp.arange(-DESC_R, DESC_R + 1)[None, :],
+            0,
+            h_l - 1,
+        )  # [k_l, P]
+        Ey = (rows[:, :, None] == jnp.arange(h_l)[None, None, :]).astype(
+            jnp.bfloat16
+        )
+        slabs.append(
+            jnp.einsum(
+                "kph,hw->kpw",
+                Ey,
+                seg.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )
+    desc = _describe_onehot_core(jnp.concatenate(slabs), xs, ang, wl, W)
+
+    xy0 = jnp.stack([xs_f, ys_f], -1) * jnp.asarray(scale_np)[:, None]
+    return Features(
+        xy=xy0,
+        angle=ang,
+        desc=desc,
+        score=jnp.where(valid, vals, -jnp.inf),
+        valid=valid,
+        octave=jnp.asarray(oct_np),
+    )
+
+
 def extract(
     img,
     max_features: int,
@@ -312,6 +512,8 @@ def extract(
         use_fused = jax.default_backend() == "tpu"
     if onehot_desc is None:
         onehot_desc = use_fused
+    if use_fused and onehot_desc:
+        return _extract_multi(img, max_features, fast_threshold)
     h0, w0 = img.shape
     dims = _level_dims(h0, w0)
     budgets = _per_level_budget(max_features)

@@ -75,11 +75,18 @@ def _sep_filter(img, weights, radius):
     return out
 
 
-def _maps_body(img, threshold, y0, border, full_h):
+def _maps_body(img, threshold, y0, border, full_h, full_w=None):
     """All maps for a work window `img` whose first row is global row
     y0 (traced scalar). Returns (score, m10, m01, blur, harris) — the raw
-    Harris surface is exported for subpixel peak interpolation."""
+    Harris surface is exported for subpixel peak interpolation.
+
+    `full_w` is the real level width when the window is width-padded (the
+    multi-level kernel pads every level to the level-0 width); the interior
+    mask must use it BEFORE NMS, or garbage candidates over the pad can
+    suppress real corners at the level's right edge."""
     h, w = img.shape
+    if full_w is None:
+        full_w = w
 
     # ---- FAST-9 segment test ----
     ring = [_roll2(img, dy, dx) for dy, dx in fast_ops.CIRCLE]
@@ -115,7 +122,10 @@ def _maps_body(img, threshold, y0, border, full_h):
     yy = y0 + jax.lax.broadcasted_iota(jnp.int32, img.shape, 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
     inside = (
-        (yy >= border) & (yy < full_h - border) & (xx >= border) & (xx < w - border)
+        (yy >= border)
+        & (yy < full_h - border)
+        & (xx >= border)
+        & (xx < full_w - border)
     )
     neg_inf = jnp.float32(-jnp.inf)
     cand = jnp.where(is_corner & inside, harris, neg_inf)
@@ -239,3 +249,130 @@ def detect_stage(img, threshold: float = 20.0, border: int = 31, interpret: bool
         # rows clipped by padding may claim corners in the pad shadow; the
         # border mask already excludes them (border > pad in practice)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Whole-pyramid fused detection: every level's bands in ONE pallas launch.
+#
+# The per-level `detect_stage` is correct but latency-bound on TPU: 8
+# sequential pallas launches (one per pyramid level) interleaved with XLA ops
+# serialize, and the smaller levels' grids are too short to hide dispatch.
+# Here all levels' row bands ride ONE grid: each level is width-padded to the
+# level-0 width, its (BLOCK + 2*HALO)-row work windows are pre-gathered into
+# a uniform [B, WORK, w0] band stack (so Pallas double-buffers the input
+# blocks automatically), and per-band level geometry (y0, level h, level w)
+# rides in SMEM tables. Per-band math is identical to `_banded_kernel`, so
+# results are bit-identical to the per-level path (tests/test_pallas_detect).
+# ---------------------------------------------------------------------------
+
+_WORK = BLOCK + 2 * HALO
+
+
+def _multi_kernel(
+    threshold,
+    border,
+    y0_ref,
+    h_ref,
+    w_ref,
+    img_ref,
+    score_ref,
+    m10_ref,
+    m01_ref,
+    blur_ref,
+    harris_ref,
+):
+    i = pl.program_id(0)
+    window = img_ref[0]
+    score, m10, m01, blur, harris = _maps_body(
+        window, threshold, y0_ref[i], border, h_ref[i], w_ref[i]
+    )
+    score_ref[:] = score[HALO : HALO + BLOCK, :]
+    m10_ref[:] = m10[HALO : HALO + BLOCK, :]
+    m01_ref[:] = m01[HALO : HALO + BLOCK, :]
+    blur_ref[:] = blur[HALO : HALO + BLOCK, :]
+    harris_ref[:] = harris[HALO : HALO + BLOCK, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _band_layout(dims):
+    """Static band tables for a tuple of per-level (h, w) dims.
+
+    Returns (y0s, hs, ws, starts, nbands, w0, total_rows): per-band window
+    row origin in level coords, per-band level height/width, per-level output
+    row starts (level l occupies output rows [starts[l], starts[l] + h_l)),
+    per-level band counts, the padded width, and the total output rows.
+    """
+    w0 = max(w for _, w in dims)
+    y0s, hs, ws, starts, nbands = [], [], [], [], []
+    row = 0
+    for h, w in dims:
+        nb = -(-h // BLOCK)
+        starts.append(row)
+        nbands.append(nb)
+        for b in range(nb):
+            y0s.append(b * BLOCK - HALO)
+            hs.append(h)
+            ws.append(w)
+        row += nb * BLOCK
+    return (
+        np.asarray(y0s, np.int32),
+        np.asarray(hs, np.int32),
+        np.asarray(ws, np.int32),
+        tuple(starts),
+        tuple(nbands),
+        w0,
+        row,
+    )
+
+
+def detect_stage_multi_bands(img_bands, dims, threshold: float = 20.0,
+                             border: int = 31, interpret: bool = False):
+    """Core of the whole-pyramid launch: img_bands [B, WORK, w0] is the
+    pre-gathered per-band work-window stack for levels of sizes `dims`."""
+    y0s, hs, ws, starts, nbands, w0, tot = _band_layout(tuple(dims))
+    shape = jax.ShapeDtypeStruct((tot, w0), jnp.float32)
+    kernel = functools.partial(_multi_kernel, float(threshold), border)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(img_bands.shape[0],),
+        out_shape=(shape,) * 5,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, _WORK, w0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((BLOCK, w0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ),
+        interpret=interpret,
+    )(jnp.asarray(y0s), jnp.asarray(hs), jnp.asarray(ws), img_bands)
+    return outs, starts
+
+
+def detect_stage_multi(imgs, threshold: float = 20.0, border: int = 31,
+                       interpret: bool = False):
+    """Fused detection over ALL pyramid levels in one pallas launch.
+
+    imgs: sequence of per-level [h_l, w_l] f32 images (w_l <= w_0).
+    Returns ((score, m10, m01, blur, harris), starts): each map is
+    [total_rows, w0] with level l's rows at [starts[l], starts[l] + h_l);
+    cols >= w_l of a level are pad (score -inf there inside the border).
+    """
+    dims = tuple(tuple(im.shape) for im in imgs)
+    _, _, _, _, nbands, w0, _ = _band_layout(dims)
+    bands = []
+    for im, nb in zip(imgs, nbands):
+        h, w = im.shape
+        pad = jnp.pad(
+            im.astype(jnp.float32),
+            ((HALO, nb * BLOCK - h + HALO), (0, w0 - w)),
+        )
+        idx = np.arange(nb)[:, None] * BLOCK + np.arange(_WORK)[None, :]
+        bands.append(jnp.take(pad, jnp.asarray(idx), axis=0))
+    return detect_stage_multi_bands(
+        jnp.concatenate(bands), dims, threshold, border, interpret
+    )

@@ -53,26 +53,35 @@ def _edge_terms(T, Xw, uv, K, mask, info, use_huber):
 
 
 def _round(T_init, Xw, uv, K, mask, info, use_huber, dtype):
-    """One reference 'round': 10 LM iterations from T_init with a fixed mask."""
+    """One reference 'round': 10 LM iterations from T_init with a fixed mask.
 
-    def chi2_of(T):
-        _, e2, _, _ = _edge_terms(T, Xw, uv, K, mask, info, use_huber)
+    The edge terms (residuals/weights/Jacobians) at the CURRENT pose are
+    carried across iterations: each step evaluates them once — at the
+    trial pose — and keeps them on acceptance. The naive form evaluates
+    twice per step (once for H/b at T, once for chi2 at T_new); on TPU the
+    whole LM chain is sequential-latency-bound, so halving the evals per
+    step nearly halves the chain. Bit-identical to the two-eval form.
+    """
+
+    def chi2_from(e2):
         return jnp.sum(lm.huber_rho(e2, use_huber) * mask)
 
     r0, e20, w0, J0 = _edge_terms(T_init, Xw, uv, K, mask, info, use_huber)
     H0 = jnp.einsum("eik,e,eil->kl", J0, w0, J0)
     lam0 = lm.TAU * jnp.max(jnp.diag(H0))
-    chi0 = chi2_of(T_init)
+    chi0 = chi2_from(e20)
 
     def step(carry, _):
-        T, lam, nu, chi = carry
-        r, e2, w, J = _edge_terms(T, Xw, uv, K, mask, info, use_huber)
+        T, lam, nu, chi, r, w, J = carry
         H = jnp.einsum("eik,e,eil->kl", J, w, J)
         b = jnp.einsum("eik,e,ei->k", J, w, r)
         A = H + lam * jnp.eye(6, dtype=dtype)
         delta = -jnp.linalg.solve(A, b)
         T_new = se3.exp_se3(delta) @ T
-        chi_new = chi2_of(T_new)
+        r_n, e2_n, w_n, J_n = _edge_terms(
+            T_new, Xw, uv, K, mask, info, use_huber
+        )
+        chi_new = chi2_from(e2_n)
         # gain ratio: predicted decrease = delta^T(lambda*delta - b)
         denom = jnp.maximum(jnp.dot(delta, lam * delta - b), 1e-12)
         rho = (chi - chi_new) / denom
@@ -80,12 +89,23 @@ def _round(T_init, Xw, uv, K, mask, info, use_huber, dtype):
         lam_n, nu_n = lm.nielsen_update(lam, nu, rho, accept)
         T_out = jnp.where(accept, T_new, T)
         chi_out = jnp.where(accept, chi_new, chi)
-        return (T_out, lam_n, nu_n, chi_out), None
+        keep = lambda new, old: jnp.where(accept, new, old)
+        return (
+            T_out, lam_n, nu_n, chi_out,
+            keep(r_n, r), keep(w_n, w), keep(J_n, J),
+        ), None
 
     # nu seeded from chi0 keeps the carry's sharding axes consistent under
     # shard_map (a replicated literal here breaks scan's vma matching)
-    (T_fin, _, _, _), _ = jax.lax.scan(
-        step, (T_init, lam0, jnp.full_like(chi0, 2.0), chi0), None, length=N_ITERS
+    # unrolled: the chain is latency-bound on TPU and unrolling removes the
+    # per-iteration while-loop dispatch (measured 1.94 -> 1.47 ms standalone
+    # for the 4x10 schedule at 512 edges)
+    (T_fin, *_), _ = jax.lax.scan(
+        step,
+        (T_init, lam0, jnp.full_like(chi0, 2.0), chi0, r0, w0, J0),
+        None,
+        length=N_ITERS,
+        unroll=N_ITERS,
     )
     return T_fin
 

@@ -100,6 +100,26 @@ class TestOrbExtract:
         np.testing.assert_array_equal(np.asarray(fa.desc), np.asarray(fb.desc))
         np.testing.assert_array_equal(np.asarray(fa.xy), np.asarray(fb.xy))
 
+    def test_bilinear_weight_mat_matches_jax_resize(self, rng):
+        """The numpy resize-weight twin (used by the multi-level TPU path's
+        matmul pyramid) must reproduce jax.image.resize bilinear."""
+        import jax
+
+        from mono_slam_framework_tpu.ops.orb import _bilinear_weight_mat
+
+        x = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+        for l in (1, 4, 7):
+            h, w = orb._level_dims(480, 640)[l]
+            ref = np.asarray(
+                jax.image.resize(jnp.asarray(x), (h, w), "bilinear")
+            )
+            got = (
+                _bilinear_weight_mat(480, h)
+                @ x
+                @ _bilinear_weight_mat(640, w).T
+            )
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-2)
+
     def test_ratio_test_rejects_unrelated_images(self, rng):
         img1 = jnp.asarray(textured_image(rng))
         rng2 = np.random.default_rng(999)

@@ -72,24 +72,90 @@ class TestPallasDetect:
             np.asarray(blur)[m], np.asarray(blur_ref)[m], rtol=1e-5, atol=1e-3
         )
 
-    def test_extract_fused_agrees_with_unfused(self, img):
-        # end-to-end: the fused path must produce the same features
-        f_ref = orb.extract(img, 200, use_fused=False)
-        # interpret-mode pallas inside extract: monkeypatch detect_stage
-        import functools
+    def test_multi_level_maps_match_per_level(self):
+        # ONE-launch whole-pyramid kernel vs the per-level kernel: identical
+        # maps (interior) and identical score pattern, per level
+        rng = np.random.default_rng(7)
+        h0, w0 = 200, 160
+        base = filters.gaussian_blur(
+            jnp.asarray(rng.uniform(0, 255, (h0, w0)).astype(np.float32)),
+            size=5,
+            sigma=1.2,
+        )
+        dims = orb._level_dims(h0, w0)
+        imgs = [base] + [
+            filters.resize_bilinear(base, dims[l])
+            for l in range(1, orb.N_LEVELS)
+        ]
+        outs, starts = pallas_detect.detect_stage_multi(
+            tuple(imgs), 10.0, 31, interpret=True
+        )
+        for l, im in enumerate(imgs):
+            h, w = im.shape
+            ref = pallas_detect.detect_stage(im, 10.0, 31, interpret=True)
+            got_score = np.asarray(outs[0][starts[l] : starts[l] + h, :w])
+            ref_score = np.asarray(ref[0])
+            assert (np.isfinite(got_score) == np.isfinite(ref_score)).all()
+            fin = np.isfinite(ref_score)
+            np.testing.assert_array_equal(got_score[fin], ref_score[fin])
+            m = _interior((h, w))
+            if not m.any():
+                continue
+            for k in range(1, 5):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[k][starts[l] : starts[l] + h, :w])[m],
+                    np.asarray(ref[k])[m],
+                )
 
-        orig = pallas_detect.detect_stage
-        pallas_detect.detect_stage = functools.partial(orig, interpret=True)
+    def test_extract_fused_agrees_with_unfused(self):
+        # end-to-end: the fused multi-level path must produce the same
+        # feature SET as the unfused XLA path. A smooth non-lattice image
+        # avoids tied Harris scores (ties order differently in the w0-stride
+        # layout, which would make slot-wise comparison meaningless).
+        rng = np.random.default_rng(3)
+        img = filters.gaussian_blur(
+            jnp.asarray(rng.uniform(0, 255, (200, 256)).astype(np.float32)),
+            size=5,
+            sigma=1.2,
+        )
+        f_ref = orb.extract(img, 200, use_fused=False)
+        # interpret-mode pallas inside extract (an explicit interpret kwarg
+        # at the call site would override a functools.partial default)
+        orig = pallas_detect.detect_stage_multi_bands
+
+        def forced(img_bands, dims, threshold=20.0, border=31,
+                   interpret=False):
+            return orig(img_bands, dims, threshold, border, interpret=True)
+
+        pallas_detect.detect_stage_multi_bands = forced
         try:
             f_fused = orb.extract(img, 200, use_fused=True)
         finally:
-            pallas_detect.detect_stage = orig
-        v = np.asarray(f_ref.valid) & np.asarray(f_fused.valid)
-        # subpixel offsets derive from the Harris surface; the fused and XLA
-        # paths agree to f32 accumulation noise
-        np.testing.assert_allclose(
-            np.asarray(f_ref.xy)[v], np.asarray(f_fused.xy)[v], atol=1e-3
-        )
-        np.testing.assert_array_equal(
-            np.asarray(f_ref.desc)[v], np.asarray(f_fused.desc)[v]
-        )
+            pallas_detect.detect_stage_multi_bands = orig
+
+        def keyed(f):
+            out = {}
+            v = np.asarray(f.valid)
+            xy = np.asarray(f.xy)
+            oc = np.asarray(f.octave)
+            desc = np.asarray(f.desc)
+            for i in np.nonzero(v)[0]:
+                # 1-decimal key: the multi path's matmul pyramid differs
+                # from jax.image.resize by float reassociation epsilons
+                out[(round(float(xy[i, 0]), 1), round(float(xy[i, 1]), 1),
+                     int(oc[i]))] = np.asarray(desc[i])
+            return out
+
+        ref, fused = keyed(f_ref), keyed(f_fused)
+        common = set(ref) & set(fused)
+        # identical selection up to approx_max_k boundary effects
+        assert len(common) >= 0.95 * max(len(ref), len(fused))
+        dists = []
+        for k in common:
+            bits = np.bitwise_count(ref[k] ^ fused[k]).sum()
+            dists.append(int(bits))
+        dists = np.asarray(dists)
+        # descriptors agree bit-for-bit except for pixels whose blurred
+        # value sits on a rounding boundary under the epsilon pyramid delta
+        assert (dists == 0).mean() >= 0.9
+        assert dists.max() <= 16
