@@ -27,6 +27,17 @@ from mono_slam_framework_tpu.optim import lm
 N_ROUNDS = 4
 N_ITERS = 10
 
+# None = auto (Pallas kernel on TPU backends, XLA elsewhere); tests may pin.
+USE_PALLAS: bool | None = None
+
+
+def _use_pallas(dtype) -> bool:
+    if dtype != jnp.float32:
+        return False  # the f64 oracle path stays XLA
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() == "tpu"
+
 
 def _edge_terms(T, Xw, uv, K, mask, info, use_huber):
     """Residuals, IRLS weights, per-edge J [E,2,6]; masked edges zeroed.
@@ -129,6 +140,12 @@ def pose_optimize(T_init, Xw, uv, valid, K, info=None):
       reference's return nInitialCorrespondences - nBad (Optimizer.cc:333).
     """
     dtype = T_init.dtype
+    if _use_pallas(dtype):
+        from mono_slam_framework_tpu.optim import pose_opt_pallas
+
+        return pose_opt_pallas.pose_optimize_pallas(
+            T_init, Xw, uv, valid, K, info
+        )
     Xw = Xw.astype(dtype)
     uv = uv.astype(dtype)
     if info is None:
@@ -151,7 +168,8 @@ def pose_optimize(T_init, Xw, uv, valid, K, info=None):
 
     init_inlier = jnp.ones_like(valid)
     (inlier, T_fin), _ = jax.lax.scan(
-        round_body, (init_inlier, T_init), jnp.arange(N_ROUNDS)
+        round_body, (init_inlier, T_init), jnp.arange(N_ROUNDS),
+        unroll=N_ROUNDS,
     )
     inlier = inlier & valid
     n_good = jnp.sum(inlier.astype(jnp.int32))

@@ -94,6 +94,34 @@ class TestPoseOptimize:
         r_ref = rmse_pose(T_ref, X, uv, m)
         assert abs(r_jax - r_ref) < 1e-3, (r_jax, r_ref)
 
+    def test_pallas_kernel_parity(self, rng):
+        """The one-kernel Pallas LM (the TPU default) must match the XLA
+        path: same 4x10 schedule, Huber/Nielsen policies, reclassification
+        (interpret mode here; tolerance = f32 reassociation noise)."""
+        from mono_slam_framework_tpu.optim import pose_opt_pallas
+
+        T_true, T0, X, uv, _ = make_pose_problem(rng, noise=0.8, n_outliers=8)
+        valid = np.ones(len(X), bool)
+        valid[-7:] = False
+        info = rng.uniform(0.5, 1.5, len(X)).astype(np.float32)
+        args = (
+            jnp.asarray(T0, jnp.float32),
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(K),
+            jnp.asarray(info),
+        )
+        T_ref, in_ref, ng_ref = pose_optimize(*args)
+        T_ker, in_ker, ng_ker = pose_opt_pallas.pose_optimize_pallas(
+            *args, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(T_ker), np.asarray(T_ref), atol=1e-4
+        )
+        assert (np.asarray(in_ker) == np.asarray(in_ref)).mean() > 0.98
+        assert abs(int(ng_ker) - int(ng_ref)) <= 2
+
     def test_padding_invariance(self, rng):
         T_true, T0, X, uv, _ = make_pose_problem(rng)
         Xp = np.concatenate([X, np.zeros((40, 3))])
