@@ -176,6 +176,7 @@ def _bench_system(
     n_warm: int = 12,
     n_timed: int = 30,
     step: float = 0.02,
+    cam_period_s: float = 0.0,
 ):
     """Full System.track_monocular throughput (host state machine included):
     synthetic 640x480 plane-world sequence at the reference operating point
@@ -230,19 +231,36 @@ def _bench_system(
 
     if hasattr(system, "timer") and system.timer is not None:
         system.timer.reset()
+    if pipelined:
+        # drop warmup samples (compile/load stalls) from the counters
+        system.tracker._pipe_stats = None
     frame_ms = []
     kf_event_ms = []
+    missed_ticks = 0
     n_kf_before = system.map.n_keyframes()
     t0 = time.perf_counter()
+    next_tick = t0
     for i in range(n_warm, n_warm + n_timed):
         f0 = time.perf_counter()
         track(images[i], timestamp=i * 0.1)
-        ms = (time.perf_counter() - f0) * 1000.0
+        now = time.perf_counter()
+        ms = (now - f0) * 1000.0
         frame_ms.append(ms)
         n_kf = system.map.n_keyframes()
         if n_kf != n_kf_before:
             kf_event_ms.append(ms)
             n_kf_before = n_kf
+        if cam_period_s:
+            # camera-paced regime (main.cpp:100's fixed control interval):
+            # the caller spends the rest of the tick acquiring/encoding the
+            # next image; the pipelined path hides its device round trip in
+            # this window, a synchronous path cannot.
+            next_tick += cam_period_s
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            else:
+                missed_ticks += 1
+                next_tick = now
     if pipelined:
         system.flush_pipeline()
     dt = time.perf_counter() - t0
@@ -264,12 +282,19 @@ def _bench_system(
         "kf_events": len(kf_event_ms),
         "kf_event_p95_ms": pct(kf_event_ms, 0.95),
     }
+    if cam_period_s:
+        extras["missed_ticks"] = missed_ticks
     if pipelined:
         from mono_slam_framework_tpu.slam import fused_host
 
+        raw = dict(fused_host.pipe_stats(system.tracker))
+        for name in ("process", "dispatch"):
+            samples = raw.pop(f"{name}_samples_ms", None)
+            if samples:
+                raw[f"{name}_p50_ms"] = pct(samples, 0.50)
         extras["pipe_stats"] = {
             k: (round(v, 1) if isinstance(v, float) else v)
-            for k, v in fused_host.pipe_stats(system.tracker).items()
+            for k, v in raw.items()
         }
     return round(n_timed / dt, 2), stages, extras
 
@@ -288,6 +313,21 @@ def bench_end_to_end():
     _, _, ex_kf = _bench_system(
         fused=True, one_step=True, n_warm=8, n_timed=30, step=0.06
     )
+    # camera-paced regime (100 ms tick): the caller spends the rest of each
+    # tick on acquisition, which is the window the pipelined mode is
+    # designed to hide its device round trip in. Back-to-back loops (above)
+    # deny it that window BY CONSTRUCTION (KNOWN_ISSUES.md). The period must
+    # exceed the relay's block floor + one async host-copy (~30 ms each) or
+    # the loop can never enter overlap; on direct-attached chips the same
+    # comparison works at camera rate (32 ms, main.cpp:58-59). Measured
+    # through the relay: pipelined caller-block p50 33 ms vs one-step 85 ms.
+    fps_one_cam, _, ex_one_cam = _bench_system(
+        fused=True, one_step=True, n_timed=24, cam_period_s=0.100
+    )
+    fps_pipe_cam, _, ex_pipe_cam = _bench_system(
+        fused=True, one_step=True, pipelined=True, n_timed=24,
+        cam_period_s=0.100,
+    )
     return {
         "e2e_fps_2000feat": fps_ref,
         "e2e_vs_baseline": round(fps_ref / 60.0, 3),
@@ -298,12 +338,34 @@ def bench_end_to_end():
         "e2e_onestep_fps_2000feat": fps_one,
         "e2e_onestep_vs_baseline": round(fps_one / 60.0, 3),
         "e2e_onestep_stage_ms": stages_one,
+        "e2e_onestep_frame_p50_ms": ex_one["frame_p50_ms"],
         "e2e_onestep_frame_p95_ms": ex_one["frame_p95_ms"],
+        # median-derived steady FPS: robust to the relay's intermittent
+        # multi-second stalls (observed up to 30 s on a trivial readback),
+        # which can swamp a short mean-FPS window
+        "e2e_onestep_p50_fps": (
+            round(1000.0 / ex_one["frame_p50_ms"], 2)
+            if ex_one["frame_p50_ms"]
+            else None
+        ),
         "kf_events": ex_kf["kf_events"],
         "kf_event_p95_ms": ex_kf["kf_event_p95_ms"],
         "e2e_pipelined_fps_2000feat": fps_pipe,
         "e2e_pipelined_vs_baseline": round(fps_pipe / 60.0, 3),
+        "e2e_pipelined_frame_p50_ms": ex_pipe["frame_p50_ms"],
+        "e2e_pipelined_p50_fps": (
+            round(1000.0 / ex_pipe["frame_p50_ms"], 2)
+            if ex_pipe["frame_p50_ms"]
+            else None
+        ),
         "pipe_stats": ex_pipe.get("pipe_stats", {}),
+        "cam100_onestep_fps": fps_one_cam,
+        "cam100_onestep_block_p50_ms": ex_one_cam["frame_p50_ms"],
+        "cam100_onestep_missed_ticks": ex_one_cam["missed_ticks"],
+        "cam100_pipelined_fps": fps_pipe_cam,
+        "cam100_pipelined_block_p50_ms": ex_pipe_cam["frame_p50_ms"],
+        "cam100_pipelined_missed_ticks": ex_pipe_cam["missed_ticks"],
+        "cam100_pipelined_pipe_stats": ex_pipe_cam.get("pipe_stats", {}),
     }
 
 

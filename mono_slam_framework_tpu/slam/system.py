@@ -128,6 +128,12 @@ class System:
         s["dispatch_ms"] = s.get("dispatch_ms", 0.0) + (
             _time.perf_counter() - t1
         ) * 1000.0
+        # per-call samples: the totals above are dominated by rare
+        # multi-second relay/compile stalls; medians carry the steady cost
+        s.setdefault("process_samples_ms", []).append((t1 - t0) * 1000.0)
+        s.setdefault("dispatch_samples_ms", []).append(
+            (_time.perf_counter() - t1) * 1000.0
+        )
         return out
 
     def flush_pipeline(self):
