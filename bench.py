@@ -95,6 +95,7 @@ def main():
 
     e2e = bench_end_to_end()
     e2e.update(bench_steady_device())
+    e2e.update(bench_multistream())
     e2e.update(bench_loftr())
     out = {
         "metric": f"tracking_fps_per_chip_{MAXF}feat",
@@ -165,6 +166,79 @@ def bench_steady_device():
     return {
         "steady_device_fps_2000feat": round(fps, 1),
         "steady_device_vs_baseline": round(fps / 60.0, 3),
+    }
+
+
+def bench_multistream(n_streams: int = 8, n_iters: int = 30):
+    """Per-chip SERVING throughput: N independent camera streams' steady
+    tracking batched into ONE device program + ONE packed readback
+    (parallel/multistream.py). The reference serves one camera per process
+    (src/main.cpp:100-188); aggregate FPS here is the per-chip capacity."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mono_slam_framework_tpu.parallel import multistream
+
+    H, W = 480, 640
+    MAXF = 2000
+    N = n_streams
+    rng = np.random.default_rng(2)
+    base = np.kron(
+        rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32), np.ones((8, 8))
+    )
+    batches = [
+        jnp.asarray(
+            np.stack([np.roll(base, 3 * i + 7 * s, axis=1) for s in range(N)]),
+            jnp.float32,
+        )
+        for i in range(n_iters)
+    ]
+    prev_feats = multistream.extract_batch(batches[0], MAXF, 20.0)
+    mcap, rcap, nk, mcap2 = 1024, 1024, 8, 1024
+    ri = lambda *s: jnp.asarray(rng.integers(0, H * W, s), jnp.int32)
+    prev_px = ri(N, mcap)
+    prev_row = jnp.asarray(rng.integers(0, 700, (N, mcap)), jnp.int32)
+    mp_pos = jnp.asarray(
+        rng.uniform(-2, 2, (N, rcap, 3)) + [0, 0, 6], jnp.float32
+    )
+    T_init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
+    kf_feats = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None], (N, nk) + x.shape[1:]),
+        prev_feats,
+    )
+    kf_px = ri(N, nk, mcap2)
+    kf_row = jnp.asarray(rng.integers(0, 700, (N, nk, mcap2)), jnp.int32)
+    first_slot = jnp.asarray(rng.integers(0, nk, (N, rcap)), jnp.int32)
+    nrm = jnp.asarray(rng.normal(size=(N, rcap, 3)), jnp.float32)
+    maxd = jnp.asarray(rng.uniform(1, 10, (N, rcap)), jnp.float32)
+    Km = jnp.broadcast_to(
+        jnp.asarray(
+            [[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], jnp.float32
+        ),
+        (N, 3, 3),
+    )
+
+    def call(imgs):
+        return multistream.steady_step_batch(
+            imgs, prev_feats, prev_px, prev_row, mp_pos, T_init,
+            kf_feats, kf_px, kf_row, first_slot, nrm, maxd, Km,
+            0.7, W, float(W), float(H), True, MAXF, 20.0,
+        )
+
+    pk = call(batches[0])[1]
+    float(jnp.sum(pk))  # forcing readback (block_until_ready unreliable on relay)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        pk = call(batches[i])[1]
+    float(jnp.sum(pk))
+    dt = time.perf_counter() - t0
+    agg = n_iters * N / dt
+    return {
+        "multistream8_aggregate_fps": round(agg, 1),
+        "multistream8_per_stream_fps": round(agg / N, 1),
+        "multistream8_vs_baseline": round(agg / 60.0, 3),
     }
 
 
@@ -424,12 +498,42 @@ def bench_loftr():
     dt = time.perf_counter() - t0
     device_fps = 30 / dt
 
+    # multi-stream LoFTR serving: N streams' steady frames as ONE program
+    # (parallel/multistream.py) — the backbone convs batch onto the MXU
+    N = 8
+    from mono_slam_framework_tpu.parallel import multistream
+
+    imgs_b = [
+        jnp.stack([imgs[(i + s) % 30] for s in range(N)]) for i in range(20)
+    ]
+    f_prev_b = jnp.broadcast_to(f_prev, (N,) + f_prev.shape[1:])[:, None]
+    tile = lambda x: jnp.broadcast_to(x, (N,) + x.shape)
+
+    def call_ms(imgs_n):
+        return multistream.steady_step_loftr_batch(
+            imgs_n, params, f_prev_b, tile(prev_cellrow), tile(mp_pos),
+            jnp.broadcast_to(T_init, (N, 4, 4)), tile(kf_feats),
+            tile(kf_cellrow), tile(first_slot), tile(nrm), tile(maxd),
+            jnp.asarray(uv), tile(Km), jnp.float32(1.0 / 64.0),
+            0.1, float(W), float(H), None,
+        )
+
+    pk = call_ms(imgs_b[0])[1]
+    float(jnp.sum(pk))
+    t0 = time.perf_counter()
+    for i in range(20):
+        pk = call_ms(imgs_b[i])[1]
+    float(jnp.sum(pk))
+    ms_agg = 20 * N / (time.perf_counter() - t0)
+
     fps_e2e, _, _ = _bench_system(
         fused=True, one_step=True, matcher_name="loftr", n_warm=8, n_timed=20
     )
     return {
         "loftr_device_fps": round(device_fps, 1),
         "loftr_device_vs_baseline": round(device_fps / 60.0, 3),
+        "loftr_multistream8_aggregate_fps": round(ms_agg, 1),
+        "loftr_multistream8_per_stream_fps": round(ms_agg / N, 1),
         "loftr_e2e_fps": fps_e2e,
         "loftr_e2e_vs_baseline": round(fps_e2e / 60.0, 3),
     }

@@ -406,6 +406,23 @@ def _extract_multi(
             img_bands, dims, fast_threshold, BORDER, interpret=interpret
         )
     )
+    return _post_detect(score, m10, m01, blur, harris, h0, w0, max_features)
+
+
+def _post_detect(
+    score, m10, m01, blur, harris, h0: int, w0: int, max_features: int
+) -> Features:
+    """Post-detection extraction stages over the stacked level maps from
+    `detect_stage_multi_bands`: per-level top-k, subpixel peak refinement,
+    orientation, and the one-hot MXU descriptor. Pure XLA (no pallas), so it
+    vmaps over a leading stream axis — the multi-stream batched path
+    (parallel/multistream.py) runs ALL streams' bands in one pallas grid and
+    vmaps this function over the per-stream maps."""
+    from mono_slam_framework_tpu.ops import pallas_detect
+
+    dims = _level_dims(h0, w0)
+    budgets = _per_level_budget(max_features)
+    _, _, _, starts, _, _, _ = pallas_detect._band_layout(tuple(dims))
     W = score.shape[1]
     BL = pallas_detect.BLOCK
 

@@ -326,11 +326,23 @@ def _band_layout(dims):
 
 
 def detect_stage_multi_bands(img_bands, dims, threshold: float = 20.0,
-                             border: int = 31, interpret: bool = False):
+                             border: int = 31, interpret: bool = False,
+                             n_streams: int = 1):
     """Core of the whole-pyramid launch: img_bands [B, WORK, w0] is the
-    pre-gathered per-band work-window stack for levels of sizes `dims`."""
+    pre-gathered per-band work-window stack for levels of sizes `dims`.
+
+    With `n_streams` > 1, img_bands is N streams' band stacks concatenated
+    ([N*B, WORK, w0], same layout per stream) and every output map comes
+    back as [N*total_rows, w0] — stream s's level maps at rows
+    [s*total_rows, (s+1)*total_rows). One grid serves all streams, so the
+    per-launch dispatch cost amortizes across the batch (the multi-stream
+    serving path, parallel/multistream.py)."""
     y0s, hs, ws, starts, nbands, w0, tot = _band_layout(tuple(dims))
-    shape = jax.ShapeDtypeStruct((tot, w0), jnp.float32)
+    if n_streams > 1:
+        y0s = np.tile(y0s, n_streams)
+        hs = np.tile(hs, n_streams)
+        ws = np.tile(ws, n_streams)
+    shape = jax.ShapeDtypeStruct((n_streams * tot, w0), jnp.float32)
     kernel = functools.partial(_multi_kernel, float(threshold), border)
     outs = pl.pallas_call(
         kernel,

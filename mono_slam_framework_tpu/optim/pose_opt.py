@@ -121,8 +121,8 @@ def _round(T_init, Xw, uv, K, mask, info, use_huber, dtype):
     return T_fin
 
 
-@jax.jit
-def pose_optimize(T_init, Xw, uv, valid, K, info=None):
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def pose_optimize(T_init, Xw, uv, valid, K, info=None, use_pallas=None):
     """4x10 LM pose refinement with inter-round outlier reclassification.
 
     Args:
@@ -134,13 +134,21 @@ def pose_optimize(T_init, Xw, uv, valid, K, info=None):
       info: optional [E] per-edge information weights (InvSigma2; upstream
         ORB-SLAM2's per-octave weighting). None = identity (fork behavior,
         Optimizer.cc:141).
+      use_pallas: explicit kernel choice (None = auto: the Pallas LM chain
+        on TPU f32, XLA elsewhere). The multi-stream batched path pins
+        False — under vmap the batched XLA solves vectorize while the
+        latency-oriented Pallas chain serializes per stream.
 
     Returns:
       (T_opt [4,4], inlier bool [E], n_good i32) — n_good mirrors the
       reference's return nInitialCorrespondences - nBad (Optimizer.cc:333).
     """
     dtype = T_init.dtype
-    if _use_pallas(dtype):
+    if (
+        _use_pallas(dtype)
+        if use_pallas is None
+        else (use_pallas and dtype == jnp.float32)
+    ):
         from mono_slam_framework_tpu.optim import pose_opt_pallas
 
         return pose_opt_pallas.pose_optimize_pallas(

@@ -95,6 +95,22 @@ def steady_step_loftr(
     if resize_hw is not None:
         x = jax.image.resize(x, resize_hw, "bilinear")
     f_cur = loftr_native.encode(params, (x / 255.0)[None, None])
+    return _loftr_core(
+        f_cur, params, f_prev, prev_cellrow, mp_pos, T_init, kf_feats,
+        kf_cellrow, first_slot, ctx_normal, ctx_maxdist, cell_uv, K,
+        info_val, threshold, width, height,
+    )
+
+
+def _loftr_core(
+    f_cur, params, f_prev, prev_cellrow, mp_pos, T_init, kf_feats,
+    kf_cellrow, first_slot, ctx_normal, ctx_maxdist, cell_uv, K,
+    info_val, threshold, width, height, use_pallas_lm=None,
+):
+    """The post-encode body of `steady_step_loftr` on already-encoded
+    features. Pure XLA when `use_pallas_lm=False`, so it vmaps over a
+    leading stream axis — the multi-stream LoFTR serving path
+    (parallel/multistream.py)."""
     L = f_cur.shape[1]
 
     # ---- motion phase: match vs last frame -------------------------------
@@ -108,7 +124,9 @@ def steady_step_loftr(
 
     info = jnp.full((L,), info_val, jnp.float32)
     Xw = mp_pos[jnp.clip(row, 0)]
-    T1, inlier1, n_good1 = pose_optimize(T_init, Xw, cell_uv, keep, K, info)
+    T1, inlier1, n_good1 = pose_optimize(
+        T_init, Xw, cell_uv, keep, K, info, use_pallas=use_pallas_lm
+    )
 
     # ---- candidate filter (device twin of last_frame_seen stamps) --------
     P = mp_pos.shape[0]
@@ -148,7 +166,8 @@ def steady_step_loftr(
 
     union_row = jnp.where(cur_row >= 0, cur_row, new_row)
     T2, inlier2, n_good2 = pose_optimize(
-        T1, mp_pos[jnp.clip(union_row, 0)], cell_uv, union_row >= 0, K, info
+        T1, mp_pos[jnp.clip(union_row, 0)], cell_uv, union_row >= 0, K,
+        info, use_pallas=use_pallas_lm
     )
 
     packed = jnp.concatenate(

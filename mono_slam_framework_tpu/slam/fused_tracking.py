@@ -66,6 +66,19 @@ def _motion_core(
 ):
     """Extract + match-vs-last + exact-pixel associate + pose LM."""
     cur = orb.extract(img, max_features, fast_threshold)
+    return _motion_core_feats(
+        cur, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+        use_octave_info,
+    )
+
+
+def _motion_core_feats(
+    cur, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+    use_octave_info, use_pallas_lm=None,
+):
+    """Match-vs-last + exact-pixel associate + pose LM on extracted features
+    (the post-extraction half of `_motion_core`; pure XLA when
+    `use_pallas_lm=False`, which the vmapped multi-stream path pins)."""
     d = hamming.distance_matrix(cur.desc, prev_feats.desc, cur.valid, prev_feats.valid)
     idx2, ok = hamming.knn2_ratio_match(d, ratio)
     ok = ok & cur.valid
@@ -95,7 +108,9 @@ def _motion_core(
     info = jnp.where(
         use_octave_info, 1.2 ** (-2.0 * cur.octave.astype(jnp.float32)), 1.0
     )
-    T1, inlier, n_good = pose_optimize(T_init, Xw, cur.xy, keep, K, info)
+    T1, inlier, n_good = pose_optimize(
+        T_init, Xw, cur.xy, keep, K, info, use_pallas=use_pallas_lm
+    )
     return cur, T1, row, keep, inlier, n_good, idx2, ok
 
 
@@ -134,7 +149,7 @@ def _frustum(pos, normal, maxdist, T, K, width, height):
 
 def _local_core(
     cur_feats, cur_row, T1, kf_feats, kf_px, kf_row, kf_active, mp_pos, K,
-    ratio, cols, use_octave_info,
+    ratio, cols, use_octave_info, use_pallas_lm=None,
 ):
     """Batched local-KF matching + first-wins association + pose LM."""
     def match_one(f2, px2, row2):
@@ -183,7 +198,9 @@ def _local_core(
     info = jnp.where(
         use_octave_info, 1.2 ** (-2.0 * cur_feats.octave.astype(jnp.float32)), 1.0
     )
-    T2, inlier, n_good = pose_optimize(T1, Xw, cur_feats.xy, valid, K, info)
+    T2, inlier, n_good = pose_optimize(
+        T1, Xw, cur_feats.xy, valid, K, info, use_pallas=use_pallas_lm
+    )
     return T2, new_row, inlier, n_good
 
 
@@ -317,9 +334,26 @@ def steady_step(
     new_row (K), inlier2 (K), vis (R).
     """
     img = jnp.asarray(img, jnp.float32)
-    cur, T1, row, keep, inlier, n_good, idx2, ok = _motion_core(
-        img, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
-        use_octave_info, max_features, fast_threshold,
+    cur = orb.extract(img, max_features, fast_threshold)
+    return _steady_core(
+        cur, prev_feats, prev_px, prev_row, mp_pos, T_init, kf_feats, kf_px,
+        kf_row, first_slot, ctx_normal, ctx_maxdist, K, ratio, cols, width,
+        height, use_octave_info,
+    )
+
+
+def _steady_core(
+    cur, prev_feats, prev_px, prev_row, mp_pos, T_init, kf_feats, kf_px,
+    kf_row, first_slot, ctx_normal, ctx_maxdist, K, ratio, cols, width,
+    height, use_octave_info, use_pallas_lm=None,
+):
+    """The post-extraction body of `steady_step` (motion association + local
+    phase + packing) on already-extracted features. Pure XLA when
+    `use_pallas_lm=False`, so it vmaps over a leading stream axis — the
+    multi-stream serving path (parallel/multistream.py)."""
+    cur, T1, row, keep, inlier, n_good, idx2, ok = _motion_core_feats(
+        cur, prev_feats, prev_px, prev_row, mp_pos, T_init, K, ratio, cols,
+        use_octave_info, use_pallas_lm,
     )
 
     # inliers carry into the local phase (the host replay drops outliers
@@ -345,7 +379,7 @@ def steady_step(
 
     T2, new_row, inlier2, n_good2 = _local_core(
         cur, cur_row, T1, kf_feats, kf_px, kf_row, kf_active, mp_pos,
-        K, ratio, cols, use_octave_info,
+        K, ratio, cols, use_octave_info, use_pallas_lm,
     )
 
     packed = jnp.concatenate(

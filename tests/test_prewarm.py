@@ -29,6 +29,34 @@ class TestPrewarm:
         out = f(jnp.ones(37, jnp.float32))
         assert out.shape == (37,)
 
+    def test_execute_mode_populates_dispatch_cache(self):
+        """Execute-mode prewarm (the TPU default) must leave the real call a
+        plain jit dispatch-cache hit — that is the whole point: compile-only
+        prewarming still pays the ~1.5 s executable load through the relay."""
+        from mono_slam_framework_tpu.utils import prewarm as pw
+
+        @jax.jit
+        def g(x, y):
+            return x @ x.T + y
+
+        pw.set_execute(True)
+        try:
+            spec = jax.ShapeDtypeStruct((8, 8), jnp.float32)
+            assert pw.prewarm(g, spec, 1.0) is True
+            for _ in range(120):
+                if pw.pending() == 0:
+                    break
+                time.sleep(0.25)
+            assert pw.pending() == 0
+            time.sleep(0.5)  # worker may still be inside the traced call
+            n_before = g._cache_size()
+            assert n_before == 1  # the background execution traced+cached it
+            out = g(jnp.ones((8, 8), jnp.float32), 1.0)
+            assert out.shape == (8, 8)
+            assert g._cache_size() == n_before  # real call: cache HIT
+        finally:
+            pw.set_execute(None)
+
     def test_local_ba_spec_lowerable(self):
         """The abstract BAProblem spec must lower through the real solver."""
         from mono_slam_framework_tpu.optim import local_bundle_adjust
