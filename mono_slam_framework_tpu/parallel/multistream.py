@@ -82,7 +82,7 @@ def extract_batch(
     jax.jit,
     static_argnames=(
         "ratio", "cols", "width", "height", "use_octave_info",
-        "max_features", "fast_threshold", "interpret",
+        "max_features", "fast_threshold", "interpret", "use_pallas_lm",
     ),
 )
 def steady_step_batch(
@@ -107,11 +107,14 @@ def steady_step_batch(
     max_features: int,
     fast_threshold: float,
     interpret: bool = False,
+    use_pallas_lm: bool = False,
 ):
     """N streams' `fused_tracking.steady_step` as ONE program.
 
     Same per-stream packed layout and chain outputs as `steady_step`, with
     a leading [N] axis; ONE dispatch + ONE readback serves all N streams.
+    `use_pallas_lm=True` vmaps the Pallas LM kernel (a leading grid axis)
+    instead of the batched XLA solves — measure before preferring it.
     """
     feats = extract_batch(
         jnp.asarray(imgs, jnp.float32), max_features, fast_threshold, interpret
@@ -120,7 +123,8 @@ def steady_step_batch(
     def core(cur, pf, ppx, prow, mpp, Ti, kff, kpx, krow, fs, nrm, mxd, Kb):
         return fused_tracking._steady_core(
             cur, pf, ppx, prow, mpp, Ti, kff, kpx, krow, fs, nrm, mxd, Kb,
-            ratio, cols, width, height, use_octave_info, use_pallas_lm=False,
+            ratio, cols, width, height, use_octave_info,
+            use_pallas_lm=use_pallas_lm,
         )
 
     return jax.vmap(core)(
