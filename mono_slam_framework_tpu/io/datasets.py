@@ -3,14 +3,16 @@
 The reference's only frame source is a live Webots camera (src/main.cpp:
 122-128); the rebuild's BASELINE.json configs name TUM fr1/xyz, fr1/desk,
 KITTI 00 and EuRoC MH_01, so these loaders provide the standard monocular
-frame streams (grayscale f32 [H,W] + timestamp) for offline runs. PIL decodes
-images (no OpenCV in this environment).
+frame streams (grayscale f32 [H,W] + timestamp) for offline runs. Decoding
+is served by the native C++ decoder + decode-ahead worker thread
+(native/frameio.cc) when available, with a per-frame PIL fallback for
+encodings it doesn't handle (no OpenCV in this environment).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, NamedTuple
+from typing import Iterator, NamedTuple, Sequence
 
 import numpy as np
 
@@ -20,23 +22,70 @@ class FrameData(NamedTuple):
     image: np.ndarray  # f32 [H, W] grayscale 0..255
 
 
-def _load_gray(path: str) -> np.ndarray:
+def _pil_gray(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
         return np.asarray(im.convert("L"), np.float32)
 
 
-def load_tum(seq_dir: str) -> Iterator[FrameData]:
+def _load_gray(path: str) -> np.ndarray:
+    """Grayscale f32 [H,W]: native decoder first, PIL fallback.
+
+    The two paths are pinned bit-identical by tests/test_native_io.py, so
+    which one serves a frame is an availability detail, not a behavior one.
+    """
+    from mono_slam_framework_tpu.native import frameio
+
+    img = frameio.decode(path)
+    return img if img is not None else _pil_gray(path)
+
+
+def stream_paths(
+    times: Sequence[float], paths: Sequence[str], prefetch: int = 4
+) -> Iterator[FrameData]:
+    """Yield FrameData for parallel (timestamp, image-path) sequences.
+
+    With `prefetch` > 0 and the native library available, a C++ worker
+    thread decodes `prefetch` frames ahead of the consumer (the twin of the
+    reference app's camera acquisition running ahead of the SLAM step,
+    src/main.cpp:122-128); frames the native decoder rejects fall back to
+    PIL individually. `prefetch=0` forces the synchronous path.
+    """
+    from mono_slam_framework_tpu.native import frameio
+
+    pf = None
+    if prefetch > 0 and frameio.load_library() is not None:
+        try:
+            pf = frameio.FramePrefetcher(paths, ring=prefetch)
+        except RuntimeError:
+            pf = None
+    if pf is None:
+        for ts, path in zip(times, paths):
+            yield FrameData(float(ts), _load_gray(path))
+        return
+    try:
+        for i, img in pf:
+            if img is None:
+                img = _pil_gray(paths[i])
+            yield FrameData(float(times[i]), img)
+    finally:
+        pf.close()
+
+
+def load_tum(seq_dir: str, prefetch: int = 4) -> Iterator[FrameData]:
     """TUM RGB-D monocular stream: rgb.txt lines `timestamp filename`."""
     index = os.path.join(seq_dir, "rgb.txt")
+    times, paths = [], []
     with open(index) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             ts, rel = line.split()[:2]
-            yield FrameData(float(ts), _load_gray(os.path.join(seq_dir, rel)))
+            times.append(float(ts))
+            paths.append(os.path.join(seq_dir, rel))
+    return stream_paths(times, paths, prefetch=prefetch)
 
 
 def load_tum_groundtruth(seq_dir: str):
@@ -120,29 +169,33 @@ def load_euroc_calib(seq_dir: str, cam: str = "cam0"):
     raise ValueError(f"no intrinsics line in {path}")
 
 
-def load_kitti(seq_dir: str, camera: str = "image_0") -> Iterator[FrameData]:
+def load_kitti(
+    seq_dir: str, camera: str = "image_0", prefetch: int = 4
+) -> Iterator[FrameData]:
     """KITTI odometry grayscale: times.txt + image_0/######.png."""
     with open(os.path.join(seq_dir, "times.txt")) as f:
         times = [float(x) for x in f.read().split()]
     img_dir = os.path.join(seq_dir, camera)
     names = sorted(os.listdir(img_dir))
-    for ts, name in zip(times, names):
-        yield FrameData(ts, _load_gray(os.path.join(img_dir, name)))
+    paths = [os.path.join(img_dir, n) for n in names[: len(times)]]
+    return stream_paths(times[: len(paths)], paths, prefetch=prefetch)
 
 
-def load_euroc(seq_dir: str, cam: str = "cam0") -> Iterator[FrameData]:
+def load_euroc(
+    seq_dir: str, cam: str = "cam0", prefetch: int = 4
+) -> Iterator[FrameData]:
     """EuRoC MAV: mav0/cam0/data.csv (ns timestamps) + data/*.png."""
     cam_dir = os.path.join(seq_dir, "mav0", cam)
+    times, paths = [], []
     with open(os.path.join(cam_dir, "data.csv")) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             ts_ns, name = line.split(",")[:2]
-            yield FrameData(
-                float(ts_ns) * 1e-9,
-                _load_gray(os.path.join(cam_dir, "data", name.strip())),
-            )
+            times.append(float(ts_ns) * 1e-9)
+            paths.append(os.path.join(cam_dir, "data", name.strip()))
+    return stream_paths(times, paths, prefetch=prefetch)
 
 
 LOADERS = {"tum": load_tum, "kitti": load_kitti, "euroc": load_euroc}
