@@ -23,6 +23,13 @@ Because every stream's host-bound outputs pack into the same readback, the
 host/relay round trip amortizes across the batch: per-chip serving capacity
 is N x the batched per-stream rate for one round trip per tick. bench.py
 reports `multistream8_aggregate_fps` on the real chip.
+
+Beyond one chip, `steady_step_batch_sharded` / `steady_step_loftr_batch_
+sharded` shard the stream axis over a `jax.sharding.Mesh` with `shard_map`:
+each device runs the same batched program on its N/D streams with ZERO
+collectives in the steady loop (streams are independent; LoFTR weights are
+replicated once), so serving capacity scales linearly with mesh size over
+ICI — the pod-level serving layout.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from mono_slam_framework_tpu.ops import orb, pallas_detect
 from mono_slam_framework_tpu.slam import fused_loftr, fused_tracking
@@ -78,14 +86,7 @@ def extract_batch(
     )(*per_stream)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ratio", "cols", "width", "height", "use_octave_info",
-        "max_features", "fast_threshold", "interpret", "use_pallas_lm",
-    ),
-)
-def steady_step_batch(
+def _steady_batch_body(
     imgs,  # [N, H, W] f32
     prev_feats: orb.Features,  # leading [N] axis on every leaf
     prev_px,  # i32 [N, M]
@@ -109,13 +110,6 @@ def steady_step_batch(
     interpret: bool = False,
     use_pallas_lm: bool = False,
 ):
-    """N streams' `fused_tracking.steady_step` as ONE program.
-
-    Same per-stream packed layout and chain outputs as `steady_step`, with
-    a leading [N] axis; ONE dispatch + ONE readback serves all N streams.
-    `use_pallas_lm=True` vmaps the Pallas LM kernel (a leading grid axis)
-    instead of the batched XLA solves — measure before preferring it.
-    """
     feats = extract_batch(
         jnp.asarray(imgs, jnp.float32), max_features, fast_threshold, interpret
     )
@@ -133,11 +127,24 @@ def steady_step_batch(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("threshold", "width", "height", "resize_hw"),
+_STEADY_STATICS = (
+    "ratio", "cols", "width", "height", "use_octave_info",
+    "max_features", "fast_threshold", "interpret", "use_pallas_lm",
 )
-def steady_step_loftr_batch(
+
+steady_step_batch = functools.partial(
+    jax.jit, static_argnames=_STEADY_STATICS
+)(_steady_batch_body)
+steady_step_batch.__doc__ = """N streams' `fused_tracking.steady_step` as ONE program.
+
+Same per-stream packed layout and chain outputs as `steady_step`, with
+a leading [N] axis; ONE dispatch + ONE readback serves all N streams.
+`use_pallas_lm=True` vmaps the Pallas LM kernel (a leading grid axis)
+instead of the batched XLA solves — measure before preferring it.
+"""
+
+
+def _loftr_batch_body(
     imgs,  # [N, H, W] f32
     params,  # LoFTR weight dict (shared across streams)
     f_prev,  # [N, 1, L, C]
@@ -157,12 +164,6 @@ def steady_step_loftr_batch(
     height: float,
     resize_hw: tuple | None = None,
 ):
-    """N streams' `fused_loftr.steady_step_loftr` as ONE program.
-
-    The backbone encode batches naturally over streams (one conv stack at
-    batch N instead of N sequential passes — the classic MXU win), and the
-    transformer/pose stages vmap. Same per-stream packed layout as the
-    single-stream program, with a leading [N] axis."""
     x = jnp.asarray(imgs, jnp.float32)
     if resize_hw is not None:
         x = jax.vmap(lambda im: jax.image.resize(im, resize_hw, "bilinear"))(x)
@@ -180,3 +181,72 @@ def steady_step_loftr_batch(
         f_cur, f_prev, prev_cellrow, mp_pos, T_init, kf_feats, kf_cellrow,
         first_slot, ctx_normal, ctx_maxdist, K,
     )
+
+
+_LOFTR_STATICS = ("threshold", "width", "height", "resize_hw")
+
+steady_step_loftr_batch = functools.partial(
+    jax.jit, static_argnames=_LOFTR_STATICS
+)(_loftr_batch_body)
+steady_step_loftr_batch.__doc__ = """N streams' `fused_loftr.steady_step_loftr` as ONE program.
+
+The backbone encode batches naturally over streams (one conv stack at
+batch N instead of N sequential passes — the classic MXU win), and the
+transformer/pose stages vmap. Same per-stream packed layout as the
+single-stream program, with a leading [N] axis."""
+
+
+# ---- pod-scale serving: streams sharded over a device mesh ----------------
+
+
+def steady_step_batch_sharded(mesh, *args, axis: str = "data", **statics):
+    """`steady_step_batch` with the stream axis sharded over `mesh`.
+
+    Every array argument carries streams on axis 0 (per-stream intrinsics
+    included), so the whole argument list shards with one spec and the
+    steady loop runs with ZERO collectives: D devices serve D x the per-chip
+    batch for the same program latency. N must be divisible by mesh size.
+    """
+    body = functools.partial(_steady_batch_body, **statics)
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            # the Pallas detection launch inside the body cannot annotate
+            # varying-mesh-axes metadata; the program is pure per-stream
+            # data parallelism, so the check adds nothing here
+            check_vma=False,
+        )
+    )
+    return fn(*args)
+
+
+def steady_step_loftr_batch_sharded(
+    mesh, imgs, params, *args, axis: str = "data", **statics
+):
+    """`steady_step_loftr_batch` sharded over `mesh`: stream tensors split
+    on axis 0, LoFTR weights and the coarse-cell grid replicated (the only
+    broadcast; it happens once at dispatch, not per frame).
+
+    Argument order matches `steady_step_loftr_batch`."""
+    body = functools.partial(_loftr_batch_body, **statics)
+    # cell_uv [L,2] and info_val (scalar) are shared; everything else is
+    # per-stream. Build specs by matching _loftr_batch_body's positionals.
+    n_pos = 12  # f_prev .. info_val after (imgs, params)
+    assert len(args) == n_pos, f"expected {n_pos} positional args, got {len(args)}"
+    specs = [P(axis), P()]  # imgs sharded, params replicated
+    # f_prev, prev_cellrow, mp_pos, T_init, kf_feats, kf_cellrow,
+    # first_slot, ctx_normal, ctx_maxdist -> sharded;
+    # cell_uv + info_val replicated; per-stream K sharded
+    specs += [P(axis)] * 9 + [P(), P(axis), P()]
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=P(axis),
+        )
+    )
+    return fn(imgs, params, *args)
