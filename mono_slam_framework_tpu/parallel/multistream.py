@@ -132,6 +132,11 @@ _STEADY_STATICS = (
     "max_features", "fast_threshold", "interpret", "use_pallas_lm",
 )
 
+# the persistent compile cache keys include the jitted function name; keep
+# the pre-refactor name so warm caches stay warm
+_steady_batch_body.__name__ = "steady_step_batch"
+_steady_batch_body.__qualname__ = "steady_step_batch"
+
 steady_step_batch = functools.partial(
     jax.jit, static_argnames=_STEADY_STATICS
 )(_steady_batch_body)
@@ -184,6 +189,9 @@ def _loftr_batch_body(
 
 
 _LOFTR_STATICS = ("threshold", "width", "height", "resize_hw")
+
+_loftr_batch_body.__name__ = "steady_step_loftr_batch"
+_loftr_batch_body.__qualname__ = "steady_step_loftr_batch"
 
 steady_step_loftr_batch = functools.partial(
     jax.jit, static_argnames=_LOFTR_STATICS
