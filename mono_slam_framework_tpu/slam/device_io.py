@@ -140,8 +140,10 @@ def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
 
     cams = local_kfs + fixed_kfs
     cam_index = {kf: i for i, kf in enumerate(cams)}
+    origin_id = map_.origin_kf_id()
     cam_fixed = np.array(
-        [kf.id == 0 for kf in local_kfs] + [True] * len(fixed_kfs), bool
+        [kf.id == origin_id for kf in local_kfs] + [True] * len(fixed_kfs),
+        bool,
     )
     # Gauge anchoring: with no outside observers (every KF covisible — common
     # in small or texture-dense maps) a monocular BA window has a FREE SCALE
@@ -234,7 +236,8 @@ def run_global_ba(
         return
     kfs.sort(key=lambda kf: kf.id)
     cam_index = {kf: i for i, kf in enumerate(kfs)}
-    cam_fixed = np.array([kf.id == 0 for kf in kfs], bool)
+    origin_id = map_.origin_kf_id()
+    cam_fixed = np.array([kf.id == origin_id for kf in kfs], bool)
     mp_index = {}
     e_cam, e_pt, e_uv, e_info = [], [], [], []
     used_mps = []

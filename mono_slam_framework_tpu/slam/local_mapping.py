@@ -313,8 +313,9 @@ class LocalMapping:
         """Cull covisible KFs whose points are >=90% redundantly observed
         (LocalMapping.cc:369-420)."""
         n_bad = 0
+        origin_id = self.map.origin_kf_id()
         for kf in self.current_kf.get_covisibles():
-            if kf.id == 0:
+            if kf.id == origin_id:
                 continue
             th_obs = 3
             n_redundant = 0

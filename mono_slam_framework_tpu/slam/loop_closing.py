@@ -40,7 +40,7 @@ class LoopClosing:
         self.local_mapper = lm
 
     def insert_keyframe(self, kf) -> None:
-        if kf.id != 0:
+        if kf.id != self.map.origin_kf_id():
             self.queue.append(kf)
 
     def check_new_keyframes(self) -> bool:

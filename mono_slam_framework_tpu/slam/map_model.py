@@ -110,6 +110,21 @@ class Map:
         nbad = sum(1 for mp in self.map_points if mp.is_bad)
         return len(self.map_points) - nbad, nbad
 
+    def origin_kf_id(self) -> int:
+        """Id of the map's FIRST keyframe — the BA gauge anchor, the
+        cull-protected spanning-tree root, and the KF local mapping / loop
+        closing skip. The reference tests `mnId == 0` for all of these
+        (KeyFrame ids restart at 0 on every Reset and a process runs ONE
+        System); with several Systems sharing the process-wide id counter
+        (parallel.server.SlamServer) only per-map origin identity is
+        correct — a second map's first keyframe has a nonzero global id,
+        and `mnId == 0` would leave its initial global BA with NO fixed
+        camera (free gauge: the init map drifts to an arbitrary frame)."""
+        if self.keyframe_origins:
+            return self.keyframe_origins[0].id
+        ids = [kf.id for kf in self.keyframes if not kf.is_bad]
+        return min(ids) if ids else 0
+
     def all_keyframes(self) -> list:
         return list(self.keyframes)
 
@@ -423,7 +438,7 @@ class KeyFrame(FrameBase):
             kf_max.add_connection(self, n_max)
         self.connections = counter
         self._update_best_covisibles()
-        if self.first_connection and self.id != 0:
+        if self.first_connection and self.id != self.map.origin_kf_id():
             self.parent = self.ordered_covisibles[0]
             self.parent.add_child(self)
             self.first_connection = False
@@ -450,7 +465,7 @@ class KeyFrame(FrameBase):
     def set_bad_flag(self) -> None:
         """Cull this KF, reassigning children over covisibility weights
         (KeyFrame::SetBadFlag, 287-372)."""
-        if self.id == 0:
+        if self.id == self.map.origin_kf_id():
             return
         if self.not_erase:
             self.to_be_erased = True

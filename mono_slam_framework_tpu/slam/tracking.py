@@ -348,6 +348,11 @@ class Tracking:
         kf_cur = self.keyframe_factory.create(self.current_frame, self.map, self.kf_db)
         self.map.add_keyframe(kf_ini)
         self.map.add_keyframe(kf_cur)
+        # registered FIRST so map.origin_kf_id() already anchors the init
+        # global BA's gauge and the spanning-tree root below (the reference
+        # appends at the end, Tracking.cc:361, but reads mnId==0 instead —
+        # see Map.origin_kf_id)
+        self.map.keyframe_origins.append(kf_ini)
 
         kp1f = self.ini_match_result.kp1_f
         kp2f = self.ini_match_result.kp2_f
@@ -413,7 +418,6 @@ class Tracking:
         self.reference_kf = kf_cur
         self.current_frame.reference_kf = kf_cur
         self.last_frame = self.frame_factory.clone(self.current_frame)
-        self.map.keyframe_origins.append(kf_ini)
         self.state = TrackingState.OK
 
     # ------------------------------------------------------------------

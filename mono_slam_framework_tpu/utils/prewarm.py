@@ -135,6 +135,18 @@ def prewarm(fn, *args, **kwargs) -> bool:
     """
     if not _enabled:
         return False
+    if _execute is None:
+        # auto mode: skip entirely on the CPU backend. Its in-process
+        # compiler is not safe to run concurrently with a main-thread
+        # compile (observed segfault: prewarm worker and pjit both inside
+        # backend_compile_and_load), its compiles are cheap (no relay
+        # executable load to hide), and speculative executables feed the
+        # XLA-CPU mmap accumulation (KNOWN_ISSUES.md). Tests pin
+        # set_execute(False/True) to exercise the worker on CPU.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
     key = _key_of(fn, args, kwargs)
     with _lock:
         if key in _seen:

@@ -7,27 +7,43 @@ import jax.numpy as jnp
 
 
 class TestPrewarm:
-    def test_compiles_in_background_and_dedups(self):
-        from mono_slam_framework_tpu.utils.prewarm import pending, prewarm
+    def test_cpu_auto_mode_is_noop(self):
+        """Auto mode must skip on the CPU backend: its in-process compiler
+        is not safe concurrently with main-thread compiles (segfault), and
+        there is no relay executable load to hide."""
+        from mono_slam_framework_tpu.utils.prewarm import prewarm
 
-        calls = []
+        @jax.jit
+        def h(x):
+            return x - 1.0
+
+        if jax.default_backend() == "cpu":
+            assert prewarm(h, jax.ShapeDtypeStruct((5,), jnp.float32)) is False
+
+    def test_compiles_in_background_and_dedups(self):
+        from mono_slam_framework_tpu.utils import prewarm as pw
+        from mono_slam_framework_tpu.utils.prewarm import pending, prewarm
 
         @jax.jit
         def f(x):
             return x * 2.0 + 1.0
 
-        spec = jax.ShapeDtypeStruct((37,), jnp.float32)
-        assert prewarm(f, spec) is True
-        assert prewarm(f, spec) is False  # same shapes -> deduplicated
-        assert prewarm(f, jax.ShapeDtypeStruct((64,), jnp.float32)) is True
-        for _ in range(60):
-            if pending() == 0:
-                break
-            time.sleep(0.25)
-        assert pending() == 0
-        # the real call works (and hits the compile cache)
-        out = f(jnp.ones(37, jnp.float32))
-        assert out.shape == (37,)
+        pw.set_execute(False)  # pin compile-only so the CPU backend runs it
+        try:
+            spec = jax.ShapeDtypeStruct((37,), jnp.float32)
+            assert prewarm(f, spec) is True
+            assert prewarm(f, spec) is False  # same shapes -> deduplicated
+            assert prewarm(f, jax.ShapeDtypeStruct((64,), jnp.float32)) is True
+            for _ in range(60):
+                if pending() == 0:
+                    break
+                time.sleep(0.25)
+            assert pending() == 0
+            # the real call works (and hits the compile cache)
+            out = f(jnp.ones(37, jnp.float32))
+            assert out.shape == (37,)
+        finally:
+            pw.set_execute(None)
 
     def test_execute_mode_populates_dispatch_cache(self):
         """Execute-mode prewarm (the TPU default) must leave the real call a
