@@ -96,6 +96,7 @@ def main():
     e2e = bench_end_to_end()
     e2e.update(bench_steady_device())
     e2e.update(bench_multistream())
+    e2e.update(bench_server())
     e2e.update(bench_loftr())
     out = {
         "metric": f"tracking_fps_per_chip_{MAXF}feat",
@@ -440,6 +441,71 @@ def bench_end_to_end():
         "cam100_pipelined_block_p50_ms": ex_pipe_cam["frame_p50_ms"],
         "cam100_pipelined_missed_ticks": ex_pipe_cam["missed_ticks"],
         "cam100_pipelined_pipe_stats": ex_pipe_cam.get("pipe_stats", {}),
+    }
+
+
+def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 20):
+    """Host-in-the-loop SERVING throughput: N full Systems driven by
+    parallel/server.py::SlamServer, steady frames batched into ONE program +
+    ONE readback per tick. Through the relay, batching amortizes the ~28 ms
+    readback floor across all N streams — the aggregate FPS is the per-chip
+    serving capacity WITH the host state machines in the loop (the
+    multistream8_* fields measure the same kernel without them)."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic_world import PlaneWorld, lateral_trajectory
+
+    from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
+    from mono_slam_framework_tpu.parallel import SlamServer
+    from mono_slam_framework_tpu.params import SlamParameters
+    from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+    from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+
+    world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
+    n_frames = n_warm + n_timed
+    trajs = [
+        lateral_trajectory(n_frames, step=0.02 + 0.004 * s)
+        for s in range(n_streams)
+    ]
+    frames = [[world.render(T) for T in traj] for traj in trajs]
+
+    reset_frame_ids()
+    reset_map_ids()
+    params = SlamParameters(
+        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+        max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
+        fusedTracking=True, fusedOneStep=True,
+    )
+    server = SlamServer(
+        params,
+        lambda: OrbFeatureMatcher(threshold=0.7, max_features=2000),
+        n_streams,
+    )
+    for system in server.systems:
+        system.toggle_initialization_allowed()
+
+    for i in range(n_warm):
+        server.step([frames[s][i] for s in range(n_streams)], timestamps=i * 0.1)
+
+    frames_before = server.stats["frames"]
+    batched_before = server.stats["batched_frames"]
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_frames):
+        server.step([frames[s][i] for s in range(n_streams)], timestamps=i * 0.1)
+    dt = time.perf_counter() - t0
+    n_served = server.stats["frames"] - frames_before
+    agg = n_served / dt
+    batched = server.stats["batched_frames"] - batched_before
+    return {
+        f"server{n_streams}_aggregate_fps": round(agg, 2),
+        f"server{n_streams}_per_stream_fps": round(agg / n_streams, 2),
+        f"server{n_streams}_vs_baseline": round(agg / 60.0, 3),
+        f"server{n_streams}_batched_share": round(
+            batched / max(n_served, 1), 3
+        ),
     }
 
 

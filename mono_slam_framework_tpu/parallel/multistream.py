@@ -110,9 +110,18 @@ def _steady_batch_body(
     interpret: bool = False,
     use_pallas_lm: bool = False,
 ):
-    feats = extract_batch(
-        jnp.asarray(imgs, jnp.float32), max_features, fast_threshold, interpret
-    )
+    if jax.default_backend() == "tpu" or interpret:
+        feats = extract_batch(
+            jnp.asarray(imgs, jnp.float32), max_features, fast_threshold,
+            interpret,
+        )
+    else:
+        # off-TPU (and not interpreting): the Pallas multi-band grid can't
+        # compile; vmap the XLA extraction path instead — the same route
+        # single-stream orb.extract takes on CPU backends
+        feats = jax.vmap(
+            lambda im: orb.extract(im, max_features, fast_threshold)
+        )(jnp.asarray(imgs, jnp.float32))
 
     def core(cur, pf, ppx, prow, mpp, Ti, kff, kpx, krow, fs, nrm, mxd, Kb):
         return fused_tracking._steady_core(

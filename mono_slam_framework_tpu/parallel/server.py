@@ -1,0 +1,230 @@
+"""SlamServer: N camera streams, each a FULL System, served per tick with
+their steady frames batched into ONE device program + ONE readback.
+
+The reference serves one camera per process (src/main.cpp:100-188: one
+Webots camera driving one System). `parallel/multistream.py` provides the
+kernel for N streams' steady tracking as one program; this module is the
+host orchestration that makes it a user-facing serving mode:
+
+  * every stream is a complete, independent `System` (own map, tracker,
+    local mapper, loop closer, matcher feature cache) — initialization,
+    keyframe events, relocalization and loop closure all run per stream
+    through the normal host paths;
+  * at each tick, streams whose trackers are in the fused steady state
+    (device-resident chain from the previous frame, unchanged local-map
+    ctx — `fused_host.prepare_spec_inputs`) are grouped by program shape
+    and dispatched as ONE `multistream.steady_step_batch` call; the packed
+    results come back in ONE `device_get` (one relay round trip for the
+    whole group) and are injected as per-tracker specs, which
+    `fused_host.run_steady` consumes exactly like the pipelined mode's
+    speculative dispatch;
+  * streams that don't qualify this tick (initializing, just after a
+    keyframe event, lost, non-ORB matcher) simply run their own
+    `track_monocular` — the server never changes per-stream semantics,
+    it only batches the device work and amortizes the readback.
+
+Trajectory semantics per stream are those of the pipelined dispatch path
+(device-computed velocity initialization via `chain_T_init`), parity-pinned
+by tests/test_server.py against independently-run Systems.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mono_slam_framework_tpu.parallel import multistream
+from mono_slam_framework_tpu.slam import fused_host, fused_tracking
+
+
+def _chain_T_init_batch_body(T_prev, T_prev2):
+    return jax.vmap(fused_tracking.chain_T_init)(T_prev, T_prev2)
+
+
+# the persistent compile cache keys include the jitted function name
+_chain_T_init_batch_body.__name__ = "chain_T_init_batch"
+_chain_T_init_batch_body.__qualname__ = "chain_T_init_batch"
+chain_T_init_batch = jax.jit(_chain_T_init_batch_body)
+
+
+class SlamServer:
+    """Serve N independent monocular streams on one chip (or one mesh).
+
+    Parameters
+    ----------
+    parameters: a `SlamParameters` template, deep-copied per stream.
+    matcher_factory: zero-arg callable returning a fresh FeatureMatcher per
+        stream (each stream needs its own feature cache).
+    n_streams: number of streams to serve.
+    keyframe_database_factory: optional callable(matcher) -> KeyFrameDatabase;
+        defaults to `KeyFrameMatchDatabase(matcher)`.
+    cap_floors: capacity floors applied to every stream's pow2 shape
+        buckets (keys mcap/mcap2/rcap/nkcap — see fused_host._floors).
+        Independent streams' maps grow at different rates, so without
+        floors their bucket keys diverge and almost nothing batches;
+        with floors every steady stream shares ONE program shape (and ONE
+        compiled executable). Defaults derive from the matcher's
+        max_features. Pass {} to disable.
+    """
+
+    def __init__(
+        self,
+        parameters,
+        matcher_factory: Callable[[], object],
+        n_streams: int,
+        *,
+        keyframe_database_factory: Callable | None = None,
+        cap_floors: dict | None = None,
+        verbose: bool = False,
+        rng_seed: int = 0,
+    ):
+        import copy
+
+        from mono_slam_framework_tpu.slam.kfdb import KeyFrameMatchDatabase
+        from mono_slam_framework_tpu.slam.system import System
+
+        self.systems = []
+        for s in range(n_streams):
+            params = copy.deepcopy(parameters)
+            matcher = matcher_factory()
+            kf_db = (
+                keyframe_database_factory(matcher)
+                if keyframe_database_factory is not None
+                else KeyFrameMatchDatabase(matcher)
+            )
+            system = System(
+                params, matcher, kf_db, verbose=verbose, rng_seed=rng_seed + s
+            )
+            if cap_floors is None:
+                f = 1 << (int(getattr(matcher, "max_features", 2000)) - 1).bit_length()
+                floors = {"mcap": f, "mcap2": f, "rcap": f, "nkcap": 8}
+            else:
+                floors = dict(cap_floors)
+            system.tracker._fused_cap_floors = floors
+            self.systems.append(system)
+        self.stats = {
+            "ticks": 0,
+            "frames": 0,
+            "batched_frames": 0,
+            "batch_groups": 0,
+            "single_frames": 0,
+        }
+
+    # ------------------------------------------------------------------
+    def step(
+        self,
+        images: Sequence,
+        timestamps: Sequence[float] | float | None = None,
+    ) -> list:
+        """Process one tick: one frame per stream (None skips a stream).
+
+        Returns the per-stream current positions (None for skipped/lost).
+        """
+        n = len(self.systems)
+        if len(images) != n:
+            raise ValueError(f"expected {n} images, got {len(images)}")
+        if timestamps is None:
+            timestamps = float(self.stats["ticks"]) * 0.1
+        if not isinstance(timestamps, (list, tuple, np.ndarray)):
+            timestamps = [float(timestamps)] * n
+
+        # 1) prepare: steady-qualifying streams build their device inputs
+        preps: dict[int, dict] = {}
+        for i, img in enumerate(images):
+            if img is None:
+                continue
+            tr = self.systems[i].tracker
+            if getattr(tr, "_pipe_spec", None) is not None:
+                continue  # a pipelined dispatch is already in flight
+            prep = fused_host.prepare_spec_inputs(tr, img)
+            if prep is not None:
+                preps[i] = prep
+
+        # 2) group identically-shaped programs and dispatch each group as ONE
+        # batched program with ONE readback
+        groups: dict[tuple, list[int]] = {}
+        for i, prep in preps.items():
+            groups.setdefault(prep["key"], []).append(i)
+        for idxs in groups.values():
+            if len(idxs) < 2:
+                # a lone stream gains nothing from the batch wrapper: its
+                # run_steady fresh path is the same single-stream program
+                self.stats["single_frames"] += 1
+                continue
+            self._dispatch_group(idxs, preps)
+
+        # 3) drive every stream's normal per-frame superloop; batched streams
+        # consume their injected spec inside fused_host.run_steady
+        results: list = []
+        for i, img in enumerate(images):
+            if img is None:
+                results.append(None)
+                continue
+            system = self.systems[i]
+            system.track_monocular(img, float(timestamps[i]))
+            results.append(system.get_current_position())
+            self.stats["frames"] += 1
+        self.stats["ticks"] += 1
+        return results
+
+    # ------------------------------------------------------------------
+    def _dispatch_group(self, idxs: list[int], preps: dict[int, dict]) -> None:
+        ps = [preps[i] for i in idxs]
+        trackers = [self.systems[i].tracker for i in idxs]
+        # pad the batch to a pow2 size by duplicating the last stream's
+        # inputs (outputs of padded rows are ignored): group sizes vary tick
+        # to tick (a stream drops out of steady state after a keyframe
+        # event), and every distinct batch size is a separate executable —
+        # a ~1.5 s load through the relay. pow2 padding caps the executable
+        # count at log2(n_streams).
+        b = len(ps)
+        bcap = max(2, 1 << (b - 1).bit_length())
+        ps = ps + [ps[-1]] * (bcap - b)
+        ctxs = [p["ctx"] for p in ps]
+
+        stack_tree = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        imgs = jnp.stack([p["img_d"] for p in ps])
+        prev_feats = stack_tree([p["prev_feats"] for p in ps])
+        prev_px = jnp.stack([p["chain_px_d"] for p in ps])
+        prev_row = jnp.stack([p["chain_row_d"] for p in ps])
+        mp_pos = jnp.stack([p["mp_pos_d"] for p in ps])
+        T_init = chain_T_init_batch(
+            jnp.stack([p["T2_d"] for p in ps]),
+            jnp.asarray(np.stack([p["T_prev_host"] for p in ps])),
+        )
+        kf_feats = stack_tree([c["kf_feats"] for c in ctxs])
+        kf_px = jnp.stack([c["kf_px"] for c in ctxs])
+        kf_row = jnp.stack([c["kf_row"] for c in ctxs])
+        first_slot = jnp.stack([c["first_slot_d"] for c in ctxs])
+        nrm = jnp.stack([c["normal_d"] for c in ctxs])
+        maxd = jnp.stack([c["maxdist_d"] for c in ctxs])
+        K = jnp.stack(
+            [fused_host._k_dev(t) for t in trackers]
+            + [fused_host._k_dev(trackers[-1])] * (bcap - b)
+        )
+        s = ps[0]["statics"]
+
+        feats, packed, npx, nrow, nT2 = multistream.steady_step_batch(
+            imgs, prev_feats, prev_px, prev_row, mp_pos, T_init,
+            kf_feats, kf_px, kf_row, first_slot, nrm, maxd, K,
+            s["ratio"], s["cols"], s["width"], s["height"],
+            s["use_octave_info"], s["max_features"], s["fast_threshold"],
+        )
+        # THE one readback of the tick for this group: every stream's packed
+        # row lands in one host copy (one relay round trip for all of them)
+        packed_np = np.asarray(jax.device_get(packed))
+        for j, i in enumerate(idxs):
+            tr = trackers[j]
+            fused_host._count(tr, "dispatch")
+            tr._pipe_spec = fused_host.finish_spec(
+                tr,
+                preps[i],
+                jax.tree.map(lambda x, j=j: x[j], feats),
+                packed_np[j],
+                (npx[j], nrow[j], nT2[j]),
+            )
+        self.stats["batched_frames"] += len(idxs)
+        self.stats["batch_groups"] += 1

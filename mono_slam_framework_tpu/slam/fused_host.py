@@ -29,6 +29,14 @@ def _pow2(n: int, floor: int = 64) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _floors(tracker) -> dict:
+    """Per-tracker capacity floors (parallel.server.SlamServer sets these):
+    raising every pow2 bucket to a fixed floor makes the steady program's
+    shape key identical across streams, so the server can batch them into
+    ONE executable instead of one per (map size, window size) bucket."""
+    return getattr(tracker, "_fused_cap_floors", None) or {}
+
+
 def pipe_stats(tracker) -> dict:
     """Speculative-dispatch counters for the pipelined mode (created lazily;
     `dispatch` = programs fired ahead of time, `hit` = consumed, `miss_*` =
@@ -109,7 +117,8 @@ def _ensure_ctx(tracker, m) -> dict:
     ):
         return ctx
 
-    nkcap = _pow2(n_kf, floor=4)
+    fl = _floors(tracker)
+    nkcap = _pow2(n_kf, floor=fl.get("nkcap", 4))
     kfs = local_kfs + [local_kfs[0]] * (nkcap - n_kf)
     kf_items = [
         [
@@ -128,7 +137,9 @@ def _ensure_ctx(tracker, m) -> dict:
     for kslot in range(n_kf - 1, -1, -1):
         for _, it in kf_items[kslot]:
             first_slot[row_of_base[id(it.map_point)]] = kslot
-    mcap2 = _pow2(max((len(i) for i in kf_items), default=1))
+    mcap2 = _pow2(
+        max((len(i) for i in kf_items), default=1), floor=fl.get("mcap2", 64)
+    )
     kf_px = np.full((nkcap, mcap2), -1, np.int32)
     kf_row = np.full((nkcap, mcap2), -1, np.int32)
     for kslot, items in enumerate(kf_items):
@@ -157,14 +168,17 @@ def _ensure_ctx(tracker, m) -> dict:
         nrm[r] = mp.normal
         maxd[r] = mp.distance_invariance()
     # one-step path: rcap-padded row space with device-resident geometry
-    rcap = _pow2(nrows)
+    rcap = _pow2(nrows, floor=fl.get("rcap", 64))
     fs_pad = np.full(rcap, -1, np.int32)
     fs_pad[:nrows] = first_slot
     nrm_pad = np.zeros((rcap, 3), np.float32)
     nrm_pad[:nrows] = nrm
     maxd_pad = np.zeros(rcap, np.float32)
     maxd_pad[:nrows] = maxd
-    pos_pad = np.zeros((rcap, 3), np.float32)
+    # under capacity floors the cached table is 2*rcap so ext/no-ext frames
+    # share one program shape (see _mp_pos_for)
+    pcap0 = 2 * rcap if fl else rcap
+    pos_pad = np.zeros((pcap0, 3), np.float32)
     pos_pad[:nrows] = pos
     ctx = {
         "key": ckey,
@@ -433,6 +447,25 @@ def run(tracker) -> bool | None:
     return tracker.n_matches_inliers >= tracker.min_local_match_count
 
 
+def _mp_pos_for(tracker, ctx, ext):
+    """Position table (ctx rows up front, extension rows past rcap) for a
+    steady dispatch. Under capacity floors (_floors) pcap is pinned at
+    2*rcap so ext and ext-free frames share one program shape."""
+    if not ext:
+        return ctx["mp_pos_d"]  # cached device table
+    rcap = ctx["rcap"]
+    nrows = len(ctx["mps"])
+    if _floors(tracker) and len(ext) <= rcap:
+        pcap = 2 * rcap
+    else:
+        pcap = _pow2(rcap + len(ext))
+    mp_pos = np.zeros((pcap, 3), np.float32)
+    mp_pos[:nrows] = ctx["pos"]
+    for j, mp in enumerate(ext):
+        mp_pos[rcap + j] = mp.world_pos
+    return jnp.asarray(mp_pos)
+
+
 def run_steady(tracker) -> bool | None:
     """One-program steady-state frame (`fusedOneStep`): motion + local-map
     tracking with a SINGLE readback. Uses the local-KF window computed after
@@ -507,7 +540,7 @@ def run_steady(tracker) -> bool | None:
         px_arr, row_arr = saved["px"], saved["row"]
         ext = list(saved["ext"])
         n_prev = px_arr.shape[0]
-        mcap = _pow2(n_prev)
+        mcap = _pow2(n_prev, floor=_floors(tracker).get("mcap", 64))
         prev_px = np.full(mcap, -1, np.int32)
         prev_row = np.full(mcap, -1, np.int32)
         prev_px[:n_prev] = px_arr
@@ -519,7 +552,7 @@ def run_steady(tracker) -> bool | None:
             if it.map_point is not None
         ]
         ext_rows: dict = {}
-        mcap = _pow2(len(prev_items))
+        mcap = _pow2(len(prev_items), floor=_floors(tracker).get("mcap", 64))
         prev_px = np.full(mcap, -1, np.int32)
         prev_row = np.full(mcap, -1, np.int32)
         for i, (idx, it) in enumerate(prev_items):
@@ -533,15 +566,7 @@ def run_steady(tracker) -> bool | None:
                     ext.append(mp)
             prev_px[i] = idx
             prev_row[i] = r
-    if ext:
-        pcap = _pow2(rcap + len(ext))
-        mp_pos = np.zeros((pcap, 3), np.float32)
-        mp_pos[:nrows] = ctx["pos"]
-        for j, mp in enumerate(ext):
-            mp_pos[rcap + j] = mp.world_pos
-        mp_pos_d = jnp.asarray(mp_pos)
-    else:
-        mp_pos_d = ctx["mp_pos_d"]  # cached device table (pcap == rcap)
+    mp_pos_d = _mp_pos_for(tracker, ctx, ext)
 
     feats, packed_d, chain_px_d, chain_row_d, T2_d = fused_tracking.steady_step(
         img_d,
@@ -748,16 +773,15 @@ def _replay_steady(
     return ok_final
 
 
-def dispatch_steady_spec(tracker, image) -> dict | None:
-    """Speculatively dispatch the NEXT frame's steady program from the last
-    completed frame's device-resident chain state (track_monocular_pipelined).
+def prepare_spec_inputs(tracker, image) -> dict | None:
+    """Build (without dispatching) the device inputs for a speculative
+    steady_step launch from the tracker's device-resident chain state.
 
-    Called right after a frame finishes processing, with the next image in
-    hand: the device program (and its async device->host result copy) runs
-    while the caller produces/fetches the following frame, hiding both the
-    compute and the readback round trip. The consumption side
-    (run_steady's spec branch) re-validates that nothing touched the map
-    state in between and falls back to a fresh dispatch otherwise.
+    Shared by `dispatch_steady_spec` (single stream, pipelined mode) and
+    `parallel.server.SlamServer` (which stacks several trackers' prepared
+    inputs into ONE `multistream.steady_step_batch` program). Returns None
+    when the chain preconditions fail; performs no tracker mutation, so a
+    prepared frame can still fall back to the fresh-dispatch path.
     """
     from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
 
@@ -778,7 +802,6 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
     if ctx is not ch["ctx"]:
         _count(tracker, "skip_ctx_changed")
         return None  # window/geometry changed; chain rows are stale
-    _count(tracker, "dispatch")
     rcap = ctx["rcap"]
     nrows = len(ctx["mps"])
     ext = ch["ext"]
@@ -786,26 +809,86 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
     img_d = jax.device_put(np.asarray(image, np.float32))
     prev_feats = m.features_for(tracker.last_frame)
     chain_px_d, chain_row_d, T2_d = ch["chain"]
+
+    mp_pos_d = _mp_pos_for(tracker, ctx, ext)
+
+    statics = {
+        "ratio": float(m.threshold),
+        "cols": int(tracker.last_frame.keypoint_map.cols),
+        "width": float(tracker.img_width),
+        "height": float(tracker.img_height),
+        "use_octave_info": bool(tracker.octave_information),
+        "max_features": int(m.max_features),
+        "fast_threshold": float(m.fast_threshold),
+    }
+    return {
+        "img_d": img_d,
+        "prev_feats": prev_feats,
+        "chain_px_d": chain_px_d,
+        "chain_row_d": chain_row_d,
+        "T2_d": T2_d,
+        "T_prev_host": np.asarray(ch["T_prev_host"], np.float32),
+        "mp_pos_d": mp_pos_d,
+        "ctx": ctx,
+        "ext": ext,
+        "statics": statics,
+        # full batching key: identical statics AND identical input shapes
+        # mean the prepared frames can share one batched program
+        "key": (
+            tuple(sorted(statics.items())),
+            tuple(img_d.shape),
+            int(chain_px_d.shape[0]),
+            int(mp_pos_d.shape[0]),
+            rcap,
+            tuple(ctx["kf_px"].shape),
+        ),
+    }
+
+
+def finish_spec(tracker, prep, feats, packed_d, chain) -> dict:
+    """Package a dispatched steady program's handles as the spec consumed by
+    run_steady's speculative branch. `packed_d` may be a device array (the
+    async copy is started here) or an already-fetched numpy row (SlamServer's
+    one-readback-per-tick path)."""
+    if hasattr(packed_d, "copy_to_host_async"):
+        # start the device->host copy NOW; by consumption time it has landed
+        packed_d.copy_to_host_async()
+    return {
+        "prev_frame_id": tracker.last_frame.id,
+        "ctx": prep["ctx"],
+        "ext": prep["ext"],
+        "feats": feats,
+        "packed_d": packed_d,
+        "chain": chain,
+    }
+
+
+def dispatch_steady_spec(tracker, image) -> dict | None:
+    """Speculatively dispatch the NEXT frame's steady program from the last
+    completed frame's device-resident chain state (track_monocular_pipelined).
+
+    Called right after a frame finishes processing, with the next image in
+    hand: the device program (and its async device->host result copy) runs
+    while the caller produces/fetches the following frame, hiding both the
+    compute and the readback round trip. The consumption side
+    (run_steady's spec branch) re-validates that nothing touched the map
+    state in between and falls back to a fresh dispatch otherwise.
+    """
+    prep = prepare_spec_inputs(tracker, image)
+    if prep is None:
+        return None
+    _count(tracker, "dispatch")
+    ctx = prep["ctx"]
+    s = prep["statics"]
     T_init_d = fused_tracking.chain_T_init(
-        T2_d, jnp.asarray(ch["T_prev_host"])
+        prep["T2_d"], jnp.asarray(prep["T_prev_host"])
     )
-
-    if ext:
-        pcap = _pow2(rcap + len(ext))
-        mp_pos = np.zeros((pcap, 3), np.float32)
-        mp_pos[:nrows] = ctx["pos"]
-        for j, mp in enumerate(ext):
-            mp_pos[rcap + j] = mp.world_pos
-        mp_pos_d = jnp.asarray(mp_pos)
-    else:
-        mp_pos_d = ctx["mp_pos_d"]  # cached device table (pcap == rcap)
-
     feats, packed_d, npx_d, nrow_d, nT2_d = fused_tracking.steady_step(
-        img_d,
-        prev_feats,
-        chain_px_d,
-        chain_row_d,
-        mp_pos_d,
+        prep["img_d"],
+        prep["prev_feats"],
+        prep["chain_px_d"],
+        prep["chain_row_d"],
+        prep["mp_pos_d"],
         T_init_d,
         ctx["kf_feats"],
         ctx["kf_px"],
@@ -814,22 +897,12 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
         ctx["normal_d"],
         ctx["maxdist_d"],
         _k_dev(tracker),
-        float(m.threshold),
-        int(tracker.last_frame.keypoint_map.cols),
-        float(tracker.img_width),
-        float(tracker.img_height),
-        bool(tracker.octave_information),
-        m.max_features,
-        m.fast_threshold,
+        s["ratio"],
+        s["cols"],
+        s["width"],
+        s["height"],
+        s["use_octave_info"],
+        s["max_features"],
+        s["fast_threshold"],
     )
-    # start the device->host copy NOW; by consumption time it has landed
-    if hasattr(packed_d, "copy_to_host_async"):
-        packed_d.copy_to_host_async()
-    return {
-        "prev_frame_id": tracker.last_frame.id,
-        "ctx": ctx,
-        "ext": ext,
-        "feats": feats,
-        "packed_d": packed_d,
-        "chain": (npx_d, nrow_d, nT2_d),
-    }
+    return finish_spec(tracker, prep, feats, packed_d, (npx_d, nrow_d, nT2_d))
