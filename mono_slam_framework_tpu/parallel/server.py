@@ -50,6 +50,37 @@ _chain_T_init_batch_body.__qualname__ = "chain_T_init_batch"
 chain_T_init_batch = jax.jit(_chain_T_init_batch_body)
 
 
+class _LazyBatchFetch:
+    """ONE shared device->host fetch of a group's batched packed buffer.
+
+    The async copy is started at dispatch time; the first stream that
+    replays triggers the (by then cheap) blocking fetch and every other
+    stream reads its row from the same host array. Keeping the fetch lazy
+    lets the whole tick's host work (and, in `step_pipelined`, the caller's
+    entire next tick) overlap the device compute + relay transfer."""
+
+    def __init__(self, packed_batch, stats: dict | None = None):
+        self._d = packed_batch
+        self._np = None
+        self._stats = stats
+
+    def row(self, j: int):
+        if self._np is None:
+            import time
+
+            t0 = time.perf_counter()
+            self._np = np.asarray(jax.device_get(self._d))
+            self._d = None  # release the device handle
+            if self._stats is not None:
+                self._stats["readback_ms"] = self._stats.get(
+                    "readback_ms", 0.0
+                ) + (time.perf_counter() - t0) * 1000.0
+                self._stats.setdefault("readback_samples_ms", []).append(
+                    (time.perf_counter() - t0) * 1000.0
+                )
+        return self._np[j]
+
+
 class SlamServer:
     """Serve N independent monocular streams on one chip (or one mesh).
 
@@ -112,17 +143,10 @@ class SlamServer:
             "batch_groups": 0,
             "single_frames": 0,
         }
+        self._pending: list | None = None
 
     # ------------------------------------------------------------------
-    def step(
-        self,
-        images: Sequence,
-        timestamps: Sequence[float] | float | None = None,
-    ) -> list:
-        """Process one tick: one frame per stream (None skips a stream).
-
-        Returns the per-stream current positions (None for skipped/lost).
-        """
+    def _normalize(self, images, timestamps):
         n = len(self.systems)
         if len(images) != n:
             raise ValueError(f"expected {n} images, got {len(images)}")
@@ -130,34 +154,60 @@ class SlamServer:
             timestamps = float(self.stats["ticks"]) * 0.1
         if not isinstance(timestamps, (list, tuple, np.ndarray)):
             timestamps = [float(timestamps)] * n
+        return images, timestamps
 
-        # 1) prepare: steady-qualifying streams build their device inputs
+    def _sample(self, name: str, ms: float) -> None:
+        self.stats[name] = self.stats.get(name, 0.0) + ms
+        samples = self.stats.setdefault(
+            f"{name.replace('_ms', '')}_samples_ms", []
+        )
+        samples.append(ms)
+        if len(samples) > 4096:  # bound the long-running server's memory
+            del samples[:2048]
+
+    def _prepare_and_dispatch(self, images) -> None:
+        """Build steady-qualifying streams' device inputs, group identical
+        program shapes, and dispatch each group as ONE batched program (lone
+        streams get a single-stream speculative dispatch instead — still
+        overlapped, just not batched)."""
+        import time
+
+        t0 = time.perf_counter()
         preps: dict[int, dict] = {}
         for i, img in enumerate(images):
             if img is None:
                 continue
             tr = self.systems[i].tracker
             if getattr(tr, "_pipe_spec", None) is not None:
-                continue  # a pipelined dispatch is already in flight
+                continue  # a dispatch is already in flight for this stream
             prep = fused_host.prepare_spec_inputs(tr, img)
             if prep is not None:
                 preps[i] = prep
+        t1 = time.perf_counter()
 
-        # 2) group identically-shaped programs and dispatch each group as ONE
-        # batched program with ONE readback
         groups: dict[tuple, list[int]] = {}
         for i, prep in preps.items():
             groups.setdefault(prep["key"], []).append(i)
         for idxs in groups.values():
             if len(idxs) < 2:
-                # a lone stream gains nothing from the batch wrapper: its
-                # run_steady fresh path is the same single-stream program
+                # a lone stream gains nothing from the batch wrapper; it
+                # still gets the dispatch-ahead overlap via the
+                # single-stream speculative program
+                i = idxs[0]
+                tr = self.systems[i].tracker
+                tr._pipe_spec = fused_host.dispatch_prepared(tr, preps[i])
                 self.stats["single_frames"] += 1
                 continue
             self._dispatch_group(idxs, preps)
+        self._sample("prepare_ms", (t1 - t0) * 1000.0)
+        self._sample("dispatch_ms", (time.perf_counter() - t1) * 1000.0)
 
-        # 3) drive every stream's normal per-frame superloop; batched streams
-        # consume their injected spec inside fused_host.run_steady
+    def _track_all(self, images, timestamps) -> list:
+        """Drive every stream's normal per-frame superloop; dispatched
+        streams consume their injected spec inside fused_host.run_steady."""
+        import time
+
+        t0 = time.perf_counter()
         results: list = []
         for i, img in enumerate(images):
             if img is None:
@@ -167,7 +217,58 @@ class SlamServer:
             system.track_monocular(img, float(timestamps[i]))
             results.append(system.get_current_position())
             self.stats["frames"] += 1
+        self._sample("track_ms", (time.perf_counter() - t0) * 1000.0)
+        return results
+
+    def step(
+        self,
+        images: Sequence,
+        timestamps: Sequence[float] | float | None = None,
+    ) -> list:
+        """Process one tick: one frame per stream (None skips a stream).
+
+        Returns the per-stream current positions (None for skipped/lost).
+        """
+        images, timestamps = self._normalize(images, timestamps)
+        self._prepare_and_dispatch(images)
+        results = self._track_all(images, timestamps)
         self.stats["ticks"] += 1
+        return results
+
+    def step_pipelined(
+        self,
+        images: Sequence,
+        timestamps: Sequence[float] | float | None = None,
+    ) -> list:
+        """One-tick-latency serving (the server twin of
+        System.track_monocular_pipelined): replay the PREVIOUS tick's frames
+        — whose batched device program and async host copy have been in
+        flight since the last call — then prepare and dispatch THIS tick's
+        batched program before returning. The group's device compute and
+        relay readback overlap an entire tick of caller + host-replay time,
+        so steady ticks cost roughly the host replay alone.
+
+        Returns the previous tick's per-stream positions (all None on the
+        first call); call `flush()` after the final tick."""
+        images, timestamps = self._normalize(images, timestamps)
+        prev = self._pending
+        results = [None] * len(self.systems)
+        if prev is not None:
+            results = self._track_all(*prev)
+        self._pending = (list(images), list(timestamps))
+        self._prepare_and_dispatch(images)
+        self.stats["ticks"] += 1
+        return results
+
+    def flush(self) -> list:
+        """Complete the pending pipelined tick (if any)."""
+        prev = self._pending
+        self._pending = None
+        results = [None] * len(self.systems)
+        if prev is not None:
+            results = self._track_all(*prev)
+        for system in self.systems:
+            system.tracker._pipe_spec = None
         return results
 
     # ------------------------------------------------------------------
@@ -214,8 +315,13 @@ class SlamServer:
             s["use_octave_info"], s["max_features"], s["fast_threshold"],
         )
         # THE one readback of the tick for this group: every stream's packed
-        # row lands in one host copy (one relay round trip for all of them)
-        packed_np = np.asarray(jax.device_get(packed))
+        # row lands in one host copy (one relay round trip for all of them).
+        # The copy starts NOW and the fetch is LAZY — the first stream that
+        # replays blocks only for whatever hasn't landed yet, and in
+        # step_pipelined a whole tick of caller time passes first.
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        fetch = _LazyBatchFetch(packed, self.stats)
         for j, i in enumerate(idxs):
             tr = trackers[j]
             fused_host._count(tr, "dispatch")
@@ -223,7 +329,7 @@ class SlamServer:
                 tr,
                 preps[i],
                 jax.tree.map(lambda x, j=j: x[j], feats),
-                packed_np[j],
+                (lambda j=j: fetch.row(j)),
                 (npx[j], nrow[j], nT2[j]),
             )
         self.stats["batched_frames"] += len(idxs)

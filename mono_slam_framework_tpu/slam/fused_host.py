@@ -601,11 +601,16 @@ def _replay_steady(
     feats, packed_d, chain,
 ):
     """Readback + full host replay of a steady_step result (shared by the
-    direct and speculative-dispatch paths)."""
+    direct and speculative-dispatch paths). `packed_d` may be a device
+    array, an already-fetched numpy row, or a zero-arg callable returning
+    the row (SlamServer's shared lazy batch fetch)."""
     m.seed_cache(cur, feats)
 
     # THE one readback of the frame
-    p = np.asarray(jax.device_get(packed_d))
+    if callable(packed_d):
+        p = np.asarray(packed_d())
+    else:
+        p = np.asarray(jax.device_get(packed_d))
     k_slots = (p.shape[0] - 35 - rcap) // 10
     T1 = p[:16].reshape(4, 4)
     n_matches = int(p[17])
@@ -877,6 +882,14 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
     prep = prepare_spec_inputs(tracker, image)
     if prep is None:
         return None
+    return dispatch_prepared(tracker, prep)
+
+
+def dispatch_prepared(tracker, prep) -> dict:
+    """Dispatch a single-stream speculative steady program from an already
+    prepared input set (`prepare_spec_inputs`). SlamServer uses this for
+    streams whose shape group has only one member this tick — they still
+    get the dispatch-ahead overlap, just not the batching."""
     _count(tracker, "dispatch")
     ctx = prep["ctx"]
     s = prep["statics"]

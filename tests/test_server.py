@@ -133,3 +133,53 @@ class TestSlamServer:
         assert out[0] is None
         assert server.systems[0].tracker.current_frame.id == before[0]
         assert server.systems[1].tracker.current_frame.id != before[1]
+
+    def test_step_pipelined(self, runs, tmp_path):
+        """One-tick-latency serving: tick N's batched program is dispatched
+        at the end of tick N's call and replayed at tick N+1 — trajectories
+        must stay within the pipelined-mode tolerance of ground truth and
+        the dispatch-ahead path must actually engage."""
+        world, trajs, *_ = runs
+        frames = [[world.render(T) for T in poses] for poses in trajs]
+
+        reset_frame_ids()
+        reset_map_ids()
+        server = SlamServer(
+            _params(world),
+            lambda: OrbFeatureMatcher(threshold=0.7, max_features=MAXF),
+            N_STREAMS,
+        )
+        for system in server.systems:
+            system.toggle_initialization_allowed()
+        outs = []
+        for i in range(N_FRAMES):
+            outs.append(
+                server.step_pipelined(
+                    [frames[s][i] for s in range(N_STREAMS)],
+                    timestamps=i * 0.1,
+                )
+            )
+        final = server.flush()
+        # one-tick latency: the first call returns nothing, flush completes
+        # the last pending tick
+        assert all(o is None for o in outs[0])
+        assert any(o is not None for o in final)
+
+        gt_t = np.array([i * 0.1 for i in range(N_FRAMES)])
+        for s in range(N_STREAMS):
+            assert server.systems[s].tracker.state == TrackingState.OK
+            fb = str(tmp_path / f"pipe{s}.txt")
+            server.systems[s].save_trajectory_tum(fb)
+            t_v, p_v, _ = trajectory.read_tum(fb)
+            gt_p = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in trajs[s]])
+            ate_v, n = trajectory.ate_rmse(t_v, p_v, gt_t, gt_p)
+            assert n >= 10, (s, n)
+            assert ate_v < 0.15, (s, ate_v)
+
+        # batched dispatch-ahead engaged and was consumed
+        assert server.stats["batch_groups"] >= 3, server.stats
+        hits = sum(
+            (getattr(s.tracker, "_pipe_stats", None) or {}).get("hit", 0)
+            for s in server.systems
+        )
+        assert hits >= server.stats["batched_frames"], server.stats
