@@ -489,6 +489,90 @@ def bench_end_to_end():
         "cam100_pipelined_block_p50_ms": ex_pipe_cam["frame_p50_ms"],
         "cam100_pipelined_missed_ticks": ex_pipe_cam["missed_ticks"],
         "cam100_pipelined_pipe_stats": ex_pipe_cam.get("pipe_stats", {}),
+        # drop-and-continue regime (VERDICT r3 #4): the control loop never
+        # blocks on tracking — main.cpp:131-140's async frame dropping
+        **_bench_cam_async(pipelined=False),
+        **_bench_cam_async(pipelined=True),
+    }
+
+
+def _bench_cam_async(
+    pipelined: bool,
+    cam_period_s: float = 0.100,
+    n_warm: int = 12,
+    n_timed: int = 24,
+):
+    """Camera-paced regime with the reference's drop-and-continue contract
+    (main.cpp:131-140 via utils/app.AsyncSlamDriver): the control loop feeds
+    a frame every tick and NEVER blocks on tracking — frames arriving while
+    a step is in flight are dropped. Reported per VERDICT r3 #4:
+      * missed_ticks — feed-loop overruns past half a period (the control
+        loop failing real-time, which drop-and-continue should make 0)
+      * dropped — frames dropped busy (the tracker failing to keep camera
+        rate; distinct failure from missing ticks)
+    """
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic_world import PlaneWorld, lateral_trajectory
+
+    from mono_slam_framework_tpu.matchers.orb_matcher import OrbFeatureMatcher
+    from mono_slam_framework_tpu.params import SlamParameters
+    from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+    from mono_slam_framework_tpu.slam.kfdb import KeyFrameMatchDatabase
+    from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+    from mono_slam_framework_tpu.slam.system import System
+    from mono_slam_framework_tpu.utils.app import AsyncSlamDriver
+
+    world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
+    poses = lateral_trajectory(n_warm + n_timed, step=0.02)
+    images = [world.render(T) for T in poses]
+
+    reset_frame_ids()
+    reset_map_ids()
+    params = SlamParameters(
+        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+        max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
+        fusedTracking=True, fusedOneStep=True,
+    )
+    matcher = OrbFeatureMatcher(threshold=0.7, max_features=2000)
+    system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
+    system.toggle_initialization_allowed()
+
+    track = (
+        system.track_monocular_pipelined if pipelined else system.track_monocular
+    )
+    for i in range(n_warm):
+        track(images[i], timestamp=i * 0.1)
+
+    driver = AsyncSlamDriver(system, track_fn=track)
+    missed = 0
+    t0 = time.perf_counter()
+    next_tick = t0 + cam_period_s
+    for i in range(n_warm, n_warm + n_timed):
+        driver.feed(images[i], timestamp=i * 0.1)
+        now = time.perf_counter()
+        if now > next_tick + 0.5 * cam_period_s:
+            missed += 1
+            next_tick = now + cam_period_s
+        else:
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            next_tick += cam_period_s
+    driver.close()
+    if pipelined:
+        system.flush_pipeline()
+    pre = "pipelined" if pipelined else "onestep"
+    return {
+        f"cam100_async_{pre}_missed_ticks": missed,
+        f"cam100_async_{pre}_dropped": driver.frames_dropped,
+        f"cam100_async_{pre}_processed_share": round(
+            (driver.frames_in - driver.frames_dropped)
+            / max(driver.frames_in, 1),
+            3,
+        ),
     }
 
 

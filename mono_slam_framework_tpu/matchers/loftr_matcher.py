@@ -213,9 +213,14 @@ class LoftrFeatureMatcher(FeatureMatcher):
             f, s = self._features(o)
             stacks.append(f[0])
             scales.append(s)
-        # power-of-two capacity: one compile per capacity, not per DB size
+        # coarse ladder capacity: one compile per rung, not per DB size
+        from mono_slam_framework_tpu.utils.buckets import (
+            MATCH_STACK_FLOOR,
+            ladder_cap,
+        )
+
         n = len(stacks)
-        cap = 1 << (n - 1).bit_length()
+        cap = ladder_cap(n, MATCH_STACK_FLOOR)
         stacks = stacks + [stacks[0]] * (cap - n)
         f_stack = jnp.stack(stacks)
         vals, idx = loftr_native.match_one_against_many(

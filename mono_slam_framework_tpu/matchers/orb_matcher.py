@@ -129,33 +129,25 @@ class OrbFeatureMatcher(FeatureMatcher):
             return []
         f1 = self.features_for(frame)
         feats = [self.features_for(o) for o in others]
-        # pad the stack to a power-of-two so the vmapped program compiles
-        # once per capacity, not once per keyframe count (relay-attached TPU
-        # compiles cost minutes; local-map/DB sizes change every frame)
+        # pad the stack to a coarse factor-4 ladder capacity so the vmapped
+        # program compiles once per rung, not once per keyframe count
+        # (relay-attached TPU compiles cost minutes; local-map/DB sizes
+        # change every frame). Rung 0 is warmed at System init.
+        from mono_slam_framework_tpu.utils.buckets import (
+            MATCH_STACK_FLOOR,
+            ladder_cap,
+        )
+
         n = len(feats)
-        cap = 1 << (n - 1).bit_length()
+        cap = ladder_cap(n, MATCH_STACK_FLOOR)
         feats = feats + [feats[0]] * (cap - n)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
-        # background-compile the next stack capacity before the local map /
-        # database grows into it (no-op unless prewarming is enabled;
-        # size-bounded — huge speculative stacks cost compiler memory for
-        # executables that may never run)
-        if cap <= 64:
-            from mono_slam_framework_tpu.utils.prewarm import prewarm
-
-            prewarm(
-                _match_many_jit,
-                jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), f1
-                ),
-                jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(
-                        (2 * cap,) + x.shape[1:], x.dtype
-                    ),
-                    stacked,
-                ),
-                self.threshold,
-            )
+        # background-warm the next rung before the local map / database
+        # grows into it (no-op unless prewarming is enabled; size-bounded —
+        # huge speculative stacks cost compiler memory for executables that
+        # may never run)
+        if cap <= 128:
+            self.prewarm_match_many(4 * cap)
         xy1, xy2, xy1f, xy2f, oc1, oc2, ok = jax.device_get(
             _match_many_jit(f1, stacked, self.threshold)
         )
@@ -175,6 +167,34 @@ class OrbFeatureMatcher(FeatureMatcher):
                 )
             )
         return results
+
+    def prewarm_match_many(self, cap: int | None = None) -> None:
+        """Background-warm the `match_against_many` executable at stack
+        capacity `cap` (rung 0 when None) from abstract feature shapes —
+        called at System init (device_io.prewarm_startup_shapes) and on
+        rung growth so batched DB scans / sweeps never stall on a relay
+        executable load (VERDICT r3 #2)."""
+        from mono_slam_framework_tpu.ops.orb import Features, _per_level_budget
+        from mono_slam_framework_tpu.utils.buckets import MATCH_STACK_FLOOR
+        from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+        if cap is None:
+            cap = MATCH_STACK_FLOOR
+        # slot count = summed per-level budgets (ops/orb.extract contract)
+        F = sum(_per_level_budget(self.max_features))
+        sds = jax.ShapeDtypeStruct
+
+        def feat_spec(lead=()):
+            return Features(
+                xy=sds(lead + (F, 2), jnp.float32),
+                angle=sds(lead + (F,), jnp.float32),
+                desc=sds(lead + (F, 8), jnp.uint32),
+                score=sds(lead + (F,), jnp.float32),
+                valid=sds(lead + (F,), jnp.bool_),
+                octave=sds(lead + (F,), jnp.int32),
+            )
+
+        prewarm(_match_many_jit, feat_spec(), feat_spec((cap,)), self.threshold)
 
     def set_threshold(self, value: float) -> None:
         self.threshold = float(value)

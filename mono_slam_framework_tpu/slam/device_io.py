@@ -25,12 +25,50 @@ from mono_slam_framework_tpu.optim import (
     pose_optimize,
 )
 from mono_slam_framework_tpu.optim.bundle_adjust import BAProblem
+from mono_slam_framework_tpu.utils.buckets import (
+    LBA_FLOORS,
+    TRI_FLOORS,
+    ladder_cap,
+)
 
 # above this camera count the full-map BA switches from the dense Schur
 # solve to matrix-free PCG (O(E) per CG application, no O(sum deg^2) pair
 # list) — the dense path's pair list and [6C,6C] system explode on long
 # sequences (VERDICT round 1 missing #6)
 GLOBAL_BA_DENSE_MAX_CAMS = 24
+
+
+def prewarm_startup_shapes(matcher=None) -> None:
+    """Background-warm the rung-0 executables of every keyframe-event device
+    path (local BA, batched triangulation sweep, batched many-matching) at
+    System construction, so the FIRST keyframe events hit warm dispatch
+    caches instead of each stalling on a relay compile / executable load
+    (VERDICT r3 #2). The coarse factor-4 ladders (utils/buckets.py) make
+    rung 0 cover the whole early run. Best-effort and asynchronous —
+    utils/prewarm gates on backend and SlamParameters.prewarmShapes."""
+    from mono_slam_framework_tpu.geometry import triangulation
+    from mono_slam_framework_tpu.utils.prewarm import prewarm
+
+    fl = LBA_FLOORS
+    prewarm(
+        local_bundle_adjust, _ba_spec(fl["C"], fl["P"], fl["E"], fl["Q"])
+    )
+    sds = jax.ShapeDtypeStruct
+    f32 = jnp.float32
+    B0, m0 = TRI_FLOORS["B"], TRI_FLOORS["m"]
+    prewarm(
+        triangulation.triangulate_gated_many,
+        sds((B0, m0, 2), f32),
+        sds((B0, m0, 2), f32),
+        sds((B0, m0), jnp.bool_),
+        sds((3, 3), f32),
+        sds((B0, 3, 3), f32),
+        sds((4, 4), f32),
+        sds((B0, 4, 4), f32),
+        jnp.float32(1.1),
+    )
+    if matcher is not None and hasattr(matcher, "prewarm_match_many"):
+        matcher.prewarm_match_many()
 
 
 def _pow2(n: int, floor: int = 64) -> int:
@@ -168,6 +206,11 @@ def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
     if not e_cam:
         return
 
+    # pair count (sum of per-landmark degree^2) on host so the pair capacity
+    # rides the same coarse ladder as the other dimensions
+    deg = np.bincount(np.asarray(e_pt, np.int64))
+    n_pairs = int(np.sum(deg * deg))
+    fl = LBA_FLOORS
     p = build_problem(
         np.stack([kf.Tcw for kf in cams]).astype(np.float32),
         cam_fixed,
@@ -176,27 +219,35 @@ def run_local_ba(current_kf, map_, prewarm_shapes: bool = False) -> None:
         np.asarray(e_pt, np.int32),
         np.asarray(e_uv, np.float32),
         cams[0].K,
-        pad_edges=_pow2(len(e_cam)),
-        pad_pairs=None,
+        # coarse factor-4 capacity ladders (utils/buckets.py): one compile
+        # per rung, ~2-3 reachable rungs per dimension over a whole run —
+        # not one per pow2 window-size bucket (minutes each through the
+        # TPU relay, ~1.5 s even cached)
+        pad_edges=ladder_cap(len(e_cam), fl["E"]),
+        pad_pairs=ladder_cap(n_pairs, fl["Q"]),
         e_info=np.asarray(e_info, np.float32),
-        # pow2 camera/point capacities: one compile per capacity bucket, not
-        # one per local-window size (minutes each through the TPU relay)
-        pad_cams=_pow2(len(cams), floor=8),
-        pad_points=_pow2(len(local_mps), floor=128),
+        pad_cams=ladder_cap(len(cams), fl["C"]),
+        pad_points=ladder_cap(len(local_mps), fl["P"]),
     )
     if prewarm_shapes:
-        # background-compile the next shape buckets before the map grows
-        # into them (the first KF event at a new bucket otherwise stalls on
-        # a relay compile / cache load). Size-bounded: very large speculative
-        # buckets make the compiler itself allocate many GB (observed as a
-        # host OOM on CPU runs) for executables that may never be used.
+        # background-warm the NEXT rung of each dimension before the map
+        # grows into it (the first KF event at a new rung otherwise stalls
+        # on a relay compile / cache load). Size-bounded: very large
+        # speculative buckets make the compiler itself allocate many GB
+        # (observed as a host OOM on CPU runs) for executables that may
+        # never be used.
         from mono_slam_framework_tpu.utils.prewarm import prewarm
 
         C, P = p.cam_T.shape[0], p.points.shape[0]
         E, Q = p.e_cam.shape[0], p.pair_i.shape[0]
-        if E <= 1 << 15 and Q <= 1 << 20 and C <= 64:
-            prewarm(local_bundle_adjust, _ba_spec(C, P, 2 * E, 4 * Q))
-            prewarm(local_bundle_adjust, _ba_spec(2 * C, 2 * P, 2 * E, 4 * Q))
+        if E <= 1 << 15 and Q <= 1 << 18 and C <= 128:
+            # likely next rungs: edge/pair growth first (more observations
+            # per point), then correlated map growth (P, E, Q together),
+            # window growth (C) alone, and everything together
+            prewarm(local_bundle_adjust, _ba_spec(C, P, 4 * E, 4 * Q))
+            prewarm(local_bundle_adjust, _ba_spec(C, 4 * P, 4 * E, 4 * Q))
+            prewarm(local_bundle_adjust, _ba_spec(4 * C, P, E, Q))
+            prewarm(local_bundle_adjust, _ba_spec(4 * C, 4 * P, 4 * E, 4 * Q))
 
     T_out, X_out, bad, _ = local_bundle_adjust(p)
     T_out = np.asarray(T_out)

@@ -24,6 +24,9 @@ from mono_slam_framework_tpu.matchers.base import MatchFramesResult
 from mono_slam_framework_tpu.slam import fused_tracking
 
 
+from mono_slam_framework_tpu.utils.buckets import ladder_cap
+
+
 def _pow2(n: int, floor: int = 64) -> int:
     n = max(int(n), floor)
     return 1 << (n - 1).bit_length()
@@ -117,6 +120,10 @@ def _ensure_ctx(tracker, m) -> dict:
     ):
         return ctx
 
+    # association-table capacities ride the coarse factor-4 ladder
+    # (utils/buckets.py): each pow2 crossing used to recompile the BIG
+    # steady_step executable (~1.5 s cached relay load) at the first steady
+    # frame after a keyframe event — rung crossings are ~4x rarer
     fl = _floors(tracker)
     nkcap = _pow2(n_kf, floor=fl.get("nkcap", 4))
     kfs = local_kfs + [local_kfs[0]] * (nkcap - n_kf)
@@ -137,8 +144,8 @@ def _ensure_ctx(tracker, m) -> dict:
     for kslot in range(n_kf - 1, -1, -1):
         for _, it in kf_items[kslot]:
             first_slot[row_of_base[id(it.map_point)]] = kslot
-    mcap2 = _pow2(
-        max((len(i) for i in kf_items), default=1), floor=fl.get("mcap2", 64)
+    mcap2 = ladder_cap(
+        max((len(i) for i in kf_items), default=1), fl.get("mcap2", 256)
     )
     kf_px = np.full((nkcap, mcap2), -1, np.int32)
     kf_row = np.full((nkcap, mcap2), -1, np.int32)
@@ -168,7 +175,7 @@ def _ensure_ctx(tracker, m) -> dict:
         nrm[r] = mp.normal
         maxd[r] = mp.distance_invariance()
     # one-step path: rcap-padded row space with device-resident geometry
-    rcap = _pow2(nrows, floor=fl.get("rcap", 64))
+    rcap = ladder_cap(nrows, fl.get("rcap", 256))
     fs_pad = np.full(rcap, -1, np.int32)
     fs_pad[:nrows] = first_slot
     nrm_pad = np.zeros((rcap, 3), np.float32)
@@ -224,13 +231,13 @@ def run(tracker) -> bool | None:
         if it.map_point is not None
     ]
     row_of, mps1 = _row_tables([[it.map_point for _, it in prev_items]])
-    mcap = _pow2(len(prev_items))
+    mcap = ladder_cap(len(prev_items), 256)
     prev_px = np.full(mcap, -1, np.int32)
     prev_row = np.full(mcap, -1, np.int32)
     for i, (idx, it) in enumerate(prev_items):
         prev_px[i] = idx
         prev_row[i] = row_of[id(it.map_point)]
-    pcap1 = _pow2(len(mps1), floor=8)
+    pcap1 = ladder_cap(len(mps1), 256)
     mp_pos1 = np.zeros((pcap1, 3), np.float32)
     for mp, r in ((mp, row_of[id(mp)]) for mp in mps1):
         mp_pos1[r] = mp.world_pos
@@ -540,7 +547,7 @@ def run_steady(tracker) -> bool | None:
         px_arr, row_arr = saved["px"], saved["row"]
         ext = list(saved["ext"])
         n_prev = px_arr.shape[0]
-        mcap = _pow2(n_prev, floor=_floors(tracker).get("mcap", 64))
+        mcap = ladder_cap(n_prev, _floors(tracker).get("mcap", 256))
         prev_px = np.full(mcap, -1, np.int32)
         prev_row = np.full(mcap, -1, np.int32)
         prev_px[:n_prev] = px_arr
@@ -552,7 +559,7 @@ def run_steady(tracker) -> bool | None:
             if it.map_point is not None
         ]
         ext_rows: dict = {}
-        mcap = _pow2(len(prev_items), floor=_floors(tracker).get("mcap", 64))
+        mcap = ladder_cap(len(prev_items), _floors(tracker).get("mcap", 256))
         prev_px = np.full(mcap, -1, np.int32)
         prev_row = np.full(mcap, -1, np.int32)
         for i, (idx, it) in enumerate(prev_items):

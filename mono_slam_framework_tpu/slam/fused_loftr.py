@@ -275,8 +275,10 @@ def _ensure_ctx(tracker, m, tables) -> dict:
                 first_slot_of[r] = kslot
             kf_cellrow[kslot, cell] = r
 
+    from mono_slam_framework_tpu.utils.buckets import ladder_cap
+
     nrows = len(mps)
-    rcap = _pow2(nrows)
+    rcap = ladder_cap(nrows, 256)
     first_slot = np.full(rcap, -1, np.int32)
     pos = np.zeros((nrows, 3), np.float32)
     nrm = np.zeros((rcap, 3), np.float32)

@@ -146,17 +146,24 @@ class LocalMapping:
         n_new = 0
         n_candidates = 0
         if pass_kfs:
+            from mono_slam_framework_tpu.utils.buckets import (
+                TRI_FLOORS,
+                ladder_cap,
+            )
+
             results = self.matcher.match_against_many(kf1, pass_kfs)
             B = len(pass_kfs)
-            # pow2 pair-count bucket: the neighbor count changes every
-            # keyframe event, and an unbucketed leading dim would recompile
-            # the vmapped DLT per distinct count (padded rows are fully
-            # masked; benign K/pose values keep the math finite)
-            Bcap = 1 << (max(B, 2) - 1).bit_length()
-            mcap = max(
-                64,
-                1 << (max(r.num_matches for r in results) - 1).bit_length(),
-            ) if any(r.num_matches for r in results) else 64
+            # coarse factor-4 capacity ladder (utils/buckets.py): the
+            # neighbor count and match count change every keyframe event,
+            # and an unbucketed dim would recompile the vmapped DLT per
+            # distinct size; rung 0 covers the early run and is warmed at
+            # System init (padded rows are fully masked; benign K/pose
+            # values keep the math finite)
+            Bcap = ladder_cap(B, TRI_FLOORS["B"])
+            mcap = ladder_cap(
+                max((r.num_matches for r in results), default=1),
+                TRI_FLOORS["m"],
+            )
             uv1b = np.zeros((Bcap, mcap, 2), np.float32)
             uv2b = np.zeros((Bcap, mcap, 2), np.float32)
             vmaskb = np.zeros((Bcap, mcap), bool)
@@ -184,13 +191,13 @@ class LocalMapping:
                     jnp.float32(self.min_parallax),
                 )
             )
-            # background-compile the NEXT shape buckets before the sweep
-            # grows into them (no-op unless prewarming is enabled)
+            # background-warm the NEXT ladder rungs before the sweep grows
+            # into them (no-op unless prewarming is enabled)
             from mono_slam_framework_tpu.utils.prewarm import prewarm
 
             sds = jax.ShapeDtypeStruct
             f32 = jnp.float32
-            for B2, m2 in ((2 * Bcap, mcap), (Bcap, 2 * mcap)):
+            for B2, m2 in ((4 * Bcap, mcap), (Bcap, 4 * mcap)):
                 prewarm(
                     triangulation.triangulate_gated_many,
                     sds((B2, m2, 2), f32),

@@ -38,8 +38,12 @@ class AsyncSlamDriver:
     worker after the in-flight step completes.
     """
 
-    def __init__(self, system):
+    def __init__(self, system, track_fn=None):
+        """`track_fn` overrides the tracked call (default
+        system.track_monocular) — e.g. System.track_monocular_pipelined for
+        the dispatch-ahead mode under the same drop-when-busy contract."""
         self.system = system
+        self._track = track_fn or system.track_monocular
         self._busy = threading.Event()
         self._thread: threading.Thread | None = None
         self.frames_in = 0
@@ -54,7 +58,7 @@ class AsyncSlamDriver:
 
         def work():
             try:
-                self.system.track_monocular(image, timestamp)
+                self._track(image, timestamp)
             finally:
                 self._busy.clear()
 
