@@ -492,6 +492,8 @@ def run_steady(tracker) -> bool | None:
     # last frame, untouched clone.
     spec = getattr(tracker, "_pipe_spec", None)
     tracker._pipe_spec = None
+    if spec is not None and spec.get("kind", "orb") != "orb":
+        spec = None  # a foreign-matcher spec (defensive; routed by type)
     if spec is not None:
         ctx = _ensure_ctx(tracker, m)
         if spec["prev_frame_id"] != tracker.last_frame.id:
@@ -834,6 +836,7 @@ def prepare_spec_inputs(tracker, image) -> dict | None:
         "fast_threshold": float(m.fast_threshold),
     }
     return {
+        "kind": "orb",
         "img_d": img_d,
         "prev_feats": prev_feats,
         "chain_px_d": chain_px_d,
@@ -866,6 +869,7 @@ def finish_spec(tracker, prep, feats, packed_d, chain) -> dict:
         # start the device->host copy NOW; by consumption time it has landed
         packed_d.copy_to_host_async()
     return {
+        "kind": "orb",
         "prev_frame_id": tracker.last_frame.id,
         "ctx": prep["ctx"],
         "ext": prep["ext"],
@@ -885,7 +889,19 @@ def dispatch_steady_spec(tracker, image) -> dict | None:
     compute and the readback round trip. The consumption side
     (run_steady's spec branch) re-validates that nothing touched the map
     state in between and falls back to a fresh dispatch otherwise.
+
+    Routes to the DNN-matcher twin (fused_loftr.dispatch_steady_spec) when
+    the tracker's matcher is LoFTR — the fast modes keep the reference's
+    drop-in plugin symmetry (dnnfeaturematcher.cpp:44-102; VERDICT r3 #3).
     """
+    from mono_slam_framework_tpu.matchers.loftr_matcher import (
+        LoftrFeatureMatcher,
+    )
+
+    if isinstance(tracker.matcher, LoftrFeatureMatcher):
+        from mono_slam_framework_tpu.slam import fused_loftr
+
+        return fused_loftr.dispatch_steady_spec(tracker, image)
     prep = prepare_spec_inputs(tracker, image)
     if prep is None:
         return None

@@ -121,3 +121,32 @@ class TestLoftrPipeline:
         ate_pair, n = trajectory.ate_rmse(t_f, p_f, t_u, p_u)
         assert n >= 5
         assert ate_pair < 0.06, ate_pair
+
+    def test_pipelined_loftr(self, tmp_path):
+        """Fast-mode symmetry (the DNN matcher is a drop-in plugin,
+        dnnfeaturematcher.cpp:44-102): track_monocular_pipelined engages the
+        speculative LoFTR dispatch (slam/fused_loftr.py spec machinery) and
+        the trajectory stays within tolerance of ground truth."""
+        from mono_slam_framework_tpu.slam import fused_host
+
+        world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
+        poses = lateral_trajectory(8, step=0.12)
+        system = build_loftr_system(world, fine=False, fused=True)
+        system.toggle_initialization_allowed()
+        for i, T in enumerate(poses):
+            system.track_monocular_pipelined(world.render(T), i * 0.1)
+        system.flush_pipeline()
+
+        assert system.tracker.state == TrackingState.OK
+        stats = fused_host.pipe_stats(system.tracker)
+        assert stats.get("dispatch", 0) >= 2, stats
+        assert stats.get("hit", 0) >= 2, stats
+
+        p = tmp_path / "loftr_pipe.txt"
+        system.save_trajectory_tum(str(p))
+        t_v, p_v, _ = trajectory.read_tum(str(p))
+        gt_t = np.array([i * 0.1 for i in range(len(poses))])
+        gt_p = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in poses])
+        ate, n = trajectory.ate_rmse(t_v, p_v, gt_t, gt_p)
+        assert n >= 5
+        assert ate < 0.2, ate

@@ -207,7 +207,7 @@ class TestLoftrMultistream:
 
         from mono_slam_framework_tpu.parallel import multistream
 
-        out_f, out_packed = multistream.steady_step_loftr_batch(
+        out_f, out_packed, *_ = multistream.steady_step_loftr_batch(
             imgs, params, jnp.asarray(f_prev), jnp.asarray(prev_cellrow),
             jnp.asarray(mp_pos), jnp.asarray(T_init), jnp.asarray(kf_feats),
             jnp.asarray(kf_cellrow), jnp.asarray(first_slot),
@@ -220,7 +220,7 @@ class TestLoftrMultistream:
             # batched-conv float drift covered by the encode test above)
             # out_f[i] is already [1, L, C]: the vmapped core returns the
             # per-stream f_cur with its batch dim intact
-            ref_f, ref_packed = fused_loftr._loftr_core(
+            ref_f, ref_packed, *_ = fused_loftr._loftr_core(
                 out_f[i], params, jnp.asarray(f_prev[i]),
                 jnp.asarray(prev_cellrow[i]), jnp.asarray(mp_pos[i]),
                 jnp.asarray(T_init[i]), jnp.asarray(kf_feats[i]),

@@ -148,11 +148,11 @@ class TestShardedLoftr:
         statics = dict(
             threshold=0.1, width=float(W2), height=float(H2), resize_hw=None
         )
-        ref_f, ref_packed = multistream.steady_step_loftr_batch(
+        ref_f, ref_packed, *_ = multistream.steady_step_loftr_batch(
             imgs, params, *pos, **statics
         )
         mesh = make_mesh(2)
-        got_f, got_packed = multistream.steady_step_loftr_batch_sharded(
+        got_f, got_packed, *_ = multistream.steady_step_loftr_batch_sharded(
             mesh, imgs, params, *pos, **statics
         )
         np.testing.assert_allclose(

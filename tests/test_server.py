@@ -183,3 +183,52 @@ class TestSlamServer:
             for s in server.systems
         )
         assert hits >= server.stats["batched_frames"], server.stats
+
+
+class TestSlamServerLoftr:
+    def test_loftr_streams_batch(self, tmp_path):
+        """DNN-matcher serving symmetry (VERDICT r3 #3): LoFTR streams group
+        into batched `multistream.steady_step_loftr_batch` dispatches and
+        replay through fused_loftr.run_steady's spec branch."""
+        from mono_slam_framework_tpu.matchers.loftr_matcher import (
+            LoftrFeatureMatcher,
+        )
+
+        n_streams, n_frames = 2, 10
+        world = PlaneWorld(width=640, height=480, f=500.0, second_plane=(3.0, 0.3))
+        trajs = [lateral_trajectory(n_frames, step=0.10) for _ in range(n_streams)]
+        frames = [[world.render(T) for T in poses] for poses in trajs]
+
+        reset_frame_ids()
+        reset_map_ids()
+        params = SlamParameters(
+            fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+            minIniMatchCount=60, initializerModelFallback=True,
+            fusedTracking=True, fusedOneStep=True,
+        )
+        server = SlamServer(
+            params,
+            lambda: LoftrFeatureMatcher(threshold=0.1, fine=False),
+            n_streams,
+        )
+        for system in server.systems:
+            system.toggle_initialization_allowed()
+        for i in range(n_frames):
+            server.step(
+                [frames[s][i] for s in range(n_streams)], timestamps=i * 0.1
+            )
+
+        assert server.stats["batch_groups"] >= 2, server.stats
+        assert server.stats["batched_frames"] >= 4, server.stats
+        gt_t = np.array([i * 0.1 for i in range(n_frames)])
+        for s in range(n_streams):
+            assert server.systems[s].tracker.state == TrackingState.OK
+            hits = (server.systems[s].tracker._pipe_stats or {}).get("hit", 0)
+            assert hits >= 2, server.systems[s].tracker._pipe_stats
+            fb = str(tmp_path / f"loftr_srv{s}.txt")
+            server.systems[s].save_trajectory_tum(fb)
+            t_v, p_v, _ = trajectory.read_tum(fb)
+            gt_p = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in trajs[s]])
+            ate_v, n = trajectory.ate_rmse(t_v, p_v, gt_t, gt_p)
+            assert n >= 5, (s, n)
+            assert ate_v < 0.2, (s, ate_v)
