@@ -75,6 +75,52 @@ def _sep_filter(img, weights, radius):
     return out
 
 
+def _any_arc9(mask):
+    """Any 9-long contiguous circular run in a 16-plane ring mask, by arc
+    doubling: run[s] of length 2k = run[s] of length k AND run[s+k] of
+    length k. 4x16 ANDs + 15 ORs instead of the naive 16x8 AND scan —
+    the segment test is pure dependent VPU work, so op count is time."""
+    a2 = [mask[s] & mask[(s + 1) % 16] for s in range(16)]
+    a4 = [a2[s] & a2[(s + 2) % 16] for s in range(16)]
+    a8 = [a4[s] & a4[(s + 4) % 16] for s in range(16)]
+    out = a8[0] & mask[8]
+    for s in range(1, 16):
+        out = out | (a8[s] & mask[(s + 8) % 16])
+    return out
+
+
+def _box_ramp31(x, axis, want_ramp=True):
+    """31-tap centered box (and optionally ramp) filter along `axis` by
+    doubling: A_2k(p) = A_k(p) + A_k(p+k) and
+    M_2k(p) = M_k(p) + M_k(p+k) + k*A_k(p+k), where A_k / M_k are the
+    length-k window sum / index-weighted sum starting at p. ~12 rolls
+    instead of 31 (box) + 30 (ramp) taps. Returns (box, ramp):
+      box[p]  = sum_{d=-15..15} x[p+d]
+      ramp[p] = sum_{d=-15..15} d * x[p+d]   (None unless want_ramp)
+    """
+
+    def rl(a, d):
+        return _roll2(a, d, 0) if axis == 0 else _roll2(a, 0, d)
+
+    A, M = x, None  # A_1 = x; M_1 = 0 (elided)
+    k = 1
+    while k < 32:
+        Ak = rl(A, k)
+        if want_ramp:
+            M = Ak * float(k) if M is None else M + rl(M, k) + Ak * float(k)
+        A = A + Ak
+        k *= 2
+    # A_32/M_32 cover d=0..31; drop the d=31 term, then recenter to -15..15
+    t = rl(x, 31)
+    A = A - t
+    box = rl(A, -15)
+    if not want_ramp:
+        return box, None
+    M = M - t * 31.0
+    ramp = rl(M, -15) - 15.0 * box
+    return box, ramp
+
+
 def _maps_body(img, threshold, y0, border, full_h, full_w=None):
     """All maps for a work window `img` whose first row is global row
     y0 (traced scalar). Returns (score, m10, m01, blur, harris) — the raw
@@ -92,14 +138,7 @@ def _maps_body(img, threshold, y0, border, full_h, full_w=None):
     ring = [_roll2(img, dy, dx) for dy, dx in fast_ops.CIRCLE]
     bright = [r - img > threshold for r in ring]
     dark = [img - r > threshold for r in ring]
-    is_corner = jnp.zeros(img.shape, jnp.bool_)
-    for s in range(16):
-        wb = bright[s % 16]
-        wd = dark[s % 16]
-        for k in range(1, fast_ops.ARC_LEN):
-            wb = wb & bright[(s + k) % 16]
-            wd = wd & dark[(s + k) % 16]
-        is_corner = is_corner | wb | wd
+    is_corner = _any_arc9(bright) | _any_arc9(dark)
 
     # ---- Harris response ----
     def sob_x(a):
@@ -112,10 +151,21 @@ def _maps_body(img, threshold, y0, border, full_h, full_w=None):
 
     ix = sob_x(img)
     iy = sob_y(img)
-    box = [1.0 / 7.0] * 7
-    sxx = _sep_filter(ix * ix, box, 3)
-    syy = _sep_filter(iy * iy, box, 3)
-    sxy = _sep_filter(ix * iy, box, 3)
+
+    def box7(a):
+        # separable 7x7 mean by doubling (5 rolls/axis instead of 7 taps)
+        for axis in (0, 1):
+            rla = (lambda v, d: _roll2(v, d, 0)) if axis == 0 else (
+                lambda v, d: _roll2(v, 0, d)
+            )
+            s2 = a + rla(a, 1)
+            s4 = s2 + rla(s2, 2)
+            a = rla(s4 + rla(s2, 4) + rla(a, 6), -3)
+        return a * (1.0 / 49.0)
+
+    sxx = box7(ix * ix)
+    syy = box7(iy * iy)
+    sxy = box7(ix * iy)
     harris = (sxx * syy - sxy * sxy) - 0.04 * (sxx + syy) * (sxx + syy)
 
     # ---- interior mask (global coords) + NMS ----
@@ -137,27 +187,12 @@ def _maps_body(img, threshold, y0, border, full_h, full_w=None):
     score = jnp.where(cand >= mx, cand, neg_inf)
 
     # ---- orientation moments (square patch, radius 15) ----
-    r = PATCH_RADIUS
-    colsum = None
-    for dy in range(-r, r + 1):
-        t = _roll2(img, dy, 0)
-        colsum = t if colsum is None else colsum + t
-    m10 = None
-    for dx in range(-r, r + 1):
-        if dx == 0:
-            continue
-        t = _roll2(colsum, 0, dx) * float(dx)
-        m10 = t if m10 is None else m10 + t
-    rowsum = None
-    for dx in range(-r, r + 1):
-        t = _roll2(img, 0, dx)
-        rowsum = t if rowsum is None else rowsum + t
-    m01 = None
-    for dy in range(-r, r + 1):
-        if dy == 0:
-            continue
-        t = _roll2(rowsum, dy, 0) * float(dy)
-        m01 = t if m01 is None else m01 + t
+    # m10 = ramp31_x(box31_y(img)), m01 = ramp31_y(box31_x(img)) — the
+    # doubling filters cut the 2x61-tap scans to ~4x12 rolls
+    colsum, _ = _box_ramp31(img, axis=0, want_ramp=False)
+    _, m10 = _box_ramp31(colsum, axis=1)
+    rowsum, _ = _box_ramp31(img, axis=1, want_ramp=False)
+    _, m01 = _box_ramp31(rowsum, axis=0)
 
     # ---- 7x7 Gaussian blur ----
     blur = _sep_filter(img, list(_gauss7()), 3)

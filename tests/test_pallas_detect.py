@@ -62,11 +62,15 @@ class TestPallasDetect:
         m10_ref, m01_ref = orb._moment_maps(img)
         blur_ref = filters.gaussian_blur(img)
         m = _interior(img.shape)
+        # atol 2.0: the kernel's doubling moment filters reassociate the f32
+        # sums; on patch masses of ~1e5-1e6 an absolute moment error of ~1
+        # shifts atan2(m01, m10) by ~1e-6 rad, far below the 12-degree rBRIEF
+        # steering quantization
         np.testing.assert_allclose(
-            np.asarray(m10)[m], np.asarray(m10_ref)[m], rtol=1e-4, atol=0.5
+            np.asarray(m10)[m], np.asarray(m10_ref)[m], rtol=1e-4, atol=2.0
         )
         np.testing.assert_allclose(
-            np.asarray(m01)[m], np.asarray(m01_ref)[m], rtol=1e-4, atol=0.5
+            np.asarray(m01)[m], np.asarray(m01_ref)[m], rtol=1e-4, atol=2.0
         )
         np.testing.assert_allclose(
             np.asarray(blur)[m], np.asarray(blur_ref)[m], rtol=1e-5, atol=1e-3
