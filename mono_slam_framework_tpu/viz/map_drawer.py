@@ -24,6 +24,7 @@ class MapDrawer:
         self.running = False
         self.points = np.zeros((0, 3), np.float32)
         self.kf_centers = np.zeros((0, 3), np.float32)
+        self.kf_dirs = np.zeros((0, 3), np.float32)
         self.cam_pos = np.zeros(3, np.float32)
         self.cam_dir = np.array([0, 0, 1.0], np.float32)
         self.history: list[np.ndarray] = []
@@ -49,16 +50,35 @@ class MapDrawer:
             np.stack(pts).astype(np.float32) if pts else np.zeros((0, 3), np.float32)
         )
         kfs = [
-            kf.get_camera_center()
+            kf
             for kf in self.map.all_keyframes()
             if not kf.is_bad and kf.Ow is not None
         ]
         kf_centers = (
-            np.stack(kfs).astype(np.float32) if kfs else np.zeros((0, 3), np.float32)
+            np.stack([kf.get_camera_center() for kf in kfs]).astype(np.float32)
+            if kfs
+            else np.zeros((0, 3), np.float32)
+        )
+        # per-KF world view direction (Rcw^T e_z = Tcw's third rotation row):
+        # the reference draws a 35-degree cone glyph along it per keyframe
+        # (MapDrawer.cc:116-130)
+        dirs = []
+        for kf in kfs:
+            T = getattr(kf, "Tcw", None)
+            dirs.append(
+                np.asarray(T[2, :3], np.float32)
+                if T is not None
+                else np.array([0, 0, 1], np.float32)
+            )
+        kf_dirs = (
+            np.stack(dirs).astype(np.float32)
+            if dirs
+            else np.zeros((0, 3), np.float32)
         )
         with self._lock:
             self.points = points
             self.kf_centers = kf_centers
+            self.kf_dirs = kf_dirs
             self._dirty = True
 
     def set_pos_dir(self, x, y, z, dx, dy, dz) -> None:
@@ -145,8 +165,38 @@ class MapDrawer:
             path,
             points=self.points,
             kf_centers=self.kf_centers,
+            kf_dirs=self.kf_dirs,
             trajectory=np.stack(self.history) if self.history else np.zeros((0, 3)),
         )
+
+    @staticmethod
+    def _draw_cone(ax, apex, direction, length, color, half_angle_deg=35.0):
+        """View-cone glyph: apex + rim wireframe along `direction`, the PNG
+        equivalent of the reference's 35-degree PCL cones per camera/KF
+        (MapDrawer.cc:104-130)."""
+        d = np.asarray(direction, np.float64)
+        n = np.linalg.norm(d)
+        if n < 1e-9:
+            return
+        d = d / n
+        # an orthonormal basis of the plane normal to the view direction
+        up = np.array([0.0, 1.0, 0.0])
+        if abs(d @ up) > 0.9:
+            up = np.array([1.0, 0.0, 0.0])
+        u = np.cross(d, up)
+        u /= np.linalg.norm(u)
+        v = np.cross(d, u)
+        r = length * np.tan(np.radians(half_angle_deg))
+        ang = np.linspace(0, 2 * np.pi, 9)
+        rim = (
+            np.asarray(apex, np.float64)
+            + length * d
+            + r * (np.outer(np.cos(ang), u) + np.outer(np.sin(ang), v))
+        )
+        ax.plot(*rim.T, c=color, lw=0.8)
+        for k in range(0, 8, 2):
+            seg = np.stack([np.asarray(apex, np.float64), rim[k]])
+            ax.plot(*seg.T, c=color, lw=0.8)
 
     def render(self, path: str) -> None:
         """Offline 3D scatter render (replaces the live PCL window)."""
@@ -157,13 +207,30 @@ class MapDrawer:
 
         fig = plt.figure(figsize=(8, 6))
         ax = fig.add_subplot(111, projection="3d")
-        if len(self.points):
-            ax.scatter(*self.points.T, s=1, c="gray", alpha=0.5)
-        if len(self.kf_centers):
-            ax.scatter(*self.kf_centers.T, s=20, c="tab:blue", marker="^")
-        if self.history:
-            traj = np.stack(self.history)
+        with self._lock:
+            points = self.points
+            kf_centers = self.kf_centers
+            kf_dirs = self.kf_dirs
+            cam_pos, cam_dir = self.cam_pos, self.cam_dir
+            traj = np.stack(self.history) if self.history else None
+        if len(points):
+            ax.scatter(*points.T, s=1, c="gray", alpha=0.5)
+        # glyph length scaled to the scene so frusta stay visible at any map
+        # extent (the reference uses 0.02 world units, MapDrawer.cc:108-111)
+        ext = 1.0
+        if len(points) or len(kf_centers):
+            allp = np.concatenate([points, kf_centers], axis=0)
+            ext = max(float(np.ptp(allp, axis=0).max()), 1e-3)
+        glyph = 0.04 * ext
+        if len(kf_centers):
+            ax.scatter(*kf_centers.T, s=20, c="tab:blue", marker="^")
+            ndirs = min(len(kf_dirs), len(kf_centers))
+            for i in range(ndirs):
+                self._draw_cone(ax, kf_centers[i], kf_dirs[i], glyph, "tab:blue")
+        if traj is not None:
             ax.plot(*traj.T, c="tab:red")
+        # current camera cone, distinct color (pos_cone, MapDrawer.cc:104-115)
+        self._draw_cone(ax, cam_pos, cam_dir, 1.5 * glyph, "tab:green")
         ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
         fig.savefig(path, dpi=120)
         plt.close(fig)

@@ -16,10 +16,12 @@ class _MP:
 
 
 class _KF:
-    def __init__(self, center):
+    def __init__(self, center, Tcw=None):
         self._c = np.asarray(center, np.float32)
         self.is_bad = False
         self.Ow = self._c
+        if Tcw is not None:
+            self.Tcw = np.asarray(Tcw, np.float32)
 
     def get_camera_center(self):
         return self._c
@@ -28,7 +30,7 @@ class _KF:
 class _Map:
     def __init__(self):
         self.mps = [_MP([0, 0, 5]), _MP([1, 0, 6]), _MP([0, 1, 4])]
-        self.kfs = [_KF([0, 0, 0]), _KF([0.5, 0, 0])]
+        self.kfs = [_KF([0, 0, 0], Tcw=np.eye(4)), _KF([0.5, 0, 0])]
 
     def all_map_points(self):
         return self.mps
@@ -45,11 +47,21 @@ class TestMapDrawer:
         d.set_pos_dir(0, 0, 0, 0, 0, 1)
         assert d.points.shape == (3, 3)
         assert d.kf_centers.shape == (2, 3)
+        # per-KF view-direction glyph data (MapDrawer.cc:116-130 cones): the
+        # first stub KF carries Tcw=I -> dir (0,0,1); the second has no pose
+        # -> the default forward dir
+        assert d.kf_dirs.shape == (2, 3)
+        np.testing.assert_allclose(d.kf_dirs[0], [0, 0, 1])
         out = tmp_path / "map.npz"
         d.save(str(out))
         z = np.load(out)
         assert z["points"].shape == (3, 3)
+        assert z["kf_dirs"].shape == (2, 3)
         assert z["trajectory"].shape == (1, 3)
+        # the render path draws the KF frusta + camera cone without error
+        png = tmp_path / "frusta.png"
+        d.render(str(png))
+        assert png.exists() and png.stat().st_size > 0
         d.stop()
 
     def test_live_viewer_thread_and_http(self, tmp_path):
