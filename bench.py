@@ -576,7 +576,13 @@ def _bench_cam_async(
     }
 
 
-def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 24):
+def bench_server(
+    n_streams: int = 4,
+    n_warm: int = 10,
+    n_timed: int = 24,
+    matcher_name: str = "orb",
+    regimes: tuple = (False, True),
+):
     """Host-in-the-loop SERVING throughput: N full Systems driven by
     parallel/server.py::SlamServer, steady frames batched into ONE program +
     ONE readback per tick. Through the relay, batching amortizes the ~28 ms
@@ -612,20 +618,29 @@ def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 24):
         for s in range(n_streams)
     ]
     frames = [[world.render(T) for T in traj] for traj in trajs]
+    if matcher_name == "loftr":
+        from mono_slam_framework_tpu.matchers.loftr_matcher import (
+            LoftrFeatureMatcher,
+        )
+
+        make_matcher = lambda: LoftrFeatureMatcher(threshold=0.1, fine=False)
+        ini_matches = 60
+        tag = "loftr_"
+    else:
+        make_matcher = lambda: OrbFeatureMatcher(threshold=0.7, max_features=2000)
+        ini_matches = 100
+        tag = ""
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
-        max_features=2000, minIniMatchCount=100, initializerModelFallback=True,
+        max_features=2000, minIniMatchCount=ini_matches,
+        initializerModelFallback=True,
         fusedTracking=True, fusedOneStep=True,
     )
 
     def run(pipelined: bool) -> dict:
         reset_frame_ids()
         reset_map_ids()
-        server = SlamServer(
-            params,
-            lambda: OrbFeatureMatcher(threshold=0.7, max_features=2000),
-            n_streams,
-        )
+        server = SlamServer(params, make_matcher, n_streams)
         for system in server.systems:
             system.toggle_initialization_allowed()
         tick = server.step_pipelined if pipelined else server.step
@@ -652,7 +667,7 @@ def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 24):
         agg = n_served / dt
         batched = server.stats["batched_frames"] - batched_before
         p50 = _pct(tick_ms, 0.50)
-        pre = "pipe_" if pipelined else ""
+        pre = (tag + "pipe_") if pipelined else tag
         out = {
             f"server{n_streams}_{pre}aggregate_fps": round(agg, 2),
             f"server{n_streams}_{pre}per_stream_fps": round(agg / n_streams, 2),
@@ -671,7 +686,7 @@ def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 24):
             ),
         }
         if not pipelined:
-            out[f"server{n_streams}_vs_baseline"] = round(agg / 60.0, 3)
+            out[f"{tag}server{n_streams}_vs_baseline"] = round(agg / 60.0, 3)
         phases = {}
         for name in ("prepare", "dispatch", "track", "readback"):
             s = server.stats.get(f"{name}_samples_ms")
@@ -680,8 +695,9 @@ def bench_server(n_streams: int = 4, n_warm: int = 10, n_timed: int = 24):
         out[f"server{n_streams}_{pre}phase_ms"] = phases
         return out
 
-    out = run(pipelined=False)
-    out.update(run(pipelined=True))
+    out = {}
+    for pipelined in regimes:
+        out.update(run(pipelined=pipelined))
     return out
 
 
@@ -771,14 +787,37 @@ def bench_loftr():
     fps_e2e, _, _ = _bench_system(
         fused=True, one_step=True, matcher_name="loftr", n_warm=8, n_timed=20
     )
-    return {
+    # pipelined LoFTR e2e (fast-mode plugin symmetry, VERDICT r3 #3): the
+    # speculative dispatch hides the transformer forward + readback behind
+    # the caller's frame time, same contract as the ORB pipelined mode
+    fps_pipe, _, ex_pipe = _bench_system(
+        fused=True, one_step=True, pipelined=True, matcher_name="loftr",
+        n_warm=8, n_timed=20,
+    )
+    out = {
         "loftr_device_fps": round(device_fps, 1),
         "loftr_device_vs_baseline": round(device_fps / 60.0, 3),
         "loftr_multistream8_aggregate_fps": round(ms_agg, 1),
         "loftr_multistream8_per_stream_fps": round(ms_agg / N, 1),
         "loftr_e2e_fps": fps_e2e,
         "loftr_e2e_vs_baseline": round(fps_e2e / 60.0, 3),
+        "loftr_pipelined_fps": fps_pipe,
+        "loftr_pipelined_frame_p50_ms": ex_pipe["frame_p50_ms"],
+        "loftr_pipelined_p50_fps": (
+            round(1000.0 / ex_pipe["frame_p50_ms"], 2)
+            if ex_pipe["frame_p50_ms"]
+            else None
+        ),
+        "loftr_pipe_stats": ex_pipe.get("pipe_stats", {}),
     }
+    # LoFTR serving: 2 streams batched through SlamServer's pipelined tick
+    out.update(
+        bench_server(
+            n_streams=2, n_warm=8, n_timed=16, matcher_name="loftr",
+            regimes=(True,),
+        )
+    )
+    return out
 
 
 if __name__ == "__main__":
