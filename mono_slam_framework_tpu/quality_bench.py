@@ -62,9 +62,14 @@ def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None)
         # long single-process CPU run: speculative prewarm compiles cost
         # XLA-CPU mmap budget (KNOWN_ISSUES.md mmap accumulation)
         prewarmShapes=False,
+        # SlamParameters is a frozen dataclass: the override must ride the
+        # constructor (None = the params.py default)
+        **(
+            {}
+            if fuse_duplicates is None
+            else {"loopFuseDuplicates": fuse_duplicates}
+        ),
     )
-    if fuse_duplicates is not None:
-        params.loopFuseDuplicates = fuse_duplicates
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=600)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
     system.toggle_initialization_allowed()
