@@ -409,6 +409,30 @@ def _extract_multi(
     return _post_detect(score, m10, m01, blur, harris, h0, w0, max_features)
 
 
+@functools.lru_cache(maxsize=None)
+def _level_row_take(h0: int, w0: int):
+    """[L, maxrows] row-take table: level l's score/band rows in the stacked
+    map (pad slots point at row `tot`, one past the stack — callers append a
+    pad row). Turns the per-level slice loop into ONE batched take."""
+    from mono_slam_framework_tpu.ops import pallas_detect
+
+    dims = _level_dims(h0, w0)
+    _, _, _, starts, nbands, _, tot = pallas_detect._band_layout(tuple(dims))
+    maxrows = max(nbands) * pallas_detect.BLOCK
+    take = np.full((N_LEVELS, maxrows), tot, np.int32)
+    for l in range(N_LEVELS):
+        nr = nbands[l] * pallas_detect.BLOCK
+        take[l, :nr] = starts[l] + np.arange(nr)
+    return take, maxrows
+
+
+# descriptor row-slab selection strategy on the multi-level path; probed on
+# the real chip (tools/tpu_postdetect_probe.py), best kept as default.
+# "take": ONE row-gather over the stacked blur map for ALL keypoints;
+# "loop": 8 serialized per-level one-hot einsums (bit-identical values).
+SLAB_MODE = "take"
+
+
 def _post_detect(
     score, m10, m01, blur, harris, h0: int, w0: int, max_features: int
 ) -> Features:
@@ -424,23 +448,21 @@ def _post_detect(
     budgets = _per_level_budget(max_features)
     _, _, _, starts, _, _, _ = pallas_detect._band_layout(tuple(dims))
     W = score.shape[1]
-    BL = pallas_detect.BLOCK
 
-    # per-level top-k over the level's band rows (pad rows/cols are -inf)
-    vals_l, ys_l, xs_l = [], [], []
-    for l in range(N_LEVELS):
-        nb = -(-dims[l][0] // BL)
-        seg = jax.lax.slice_in_dim(score, starts[l], starts[l] + nb * BL)
-        v, flat = jax.lax.approx_max_k(
-            seg.reshape(-1), budgets[l], recall_target=0.95
-        )
-        ys_lvl = flat // W
-        vals_l.append(v)
-        ys_l.append(ys_lvl)
-        xs_l.append(flat - ys_lvl * W)
+    # ALL levels' top-k as ONE batched approx_max_k over a [L, maxrows*W]
+    # row-take view (pad slots read a -inf row); the previous 8 serialized
+    # per-level calls were the dominant latency chain of this stage
+    take_np, maxrows = _level_row_take(h0, w0)
+    kmax = max(budgets)
+    score_pad = jnp.concatenate([score, jnp.full((1, W), -jnp.inf, score.dtype)])
+    seg_all = score_pad[jnp.asarray(take_np)].reshape(N_LEVELS, maxrows * W)
+    v_b, flat_b = jax.lax.approx_max_k(seg_all, kmax, recall_target=0.95)
+    vals_l = [v_b[l, : budgets[l]] for l in range(N_LEVELS)]
+    flat_l = [flat_b[l, : budgets[l]] for l in range(N_LEVELS)]
+    ys_l = [f // W for f in flat_l]
     vals = jnp.concatenate(vals_l)
     ys = jnp.concatenate(ys_l)  # level-local rows
-    xs = jnp.concatenate(xs_l)
+    xs = jnp.concatenate(flat_l) - ys * W
     valid = jnp.isfinite(vals)
 
     base_np, hl_np, wl_np, scale_np, oct_np = _kp_level_tables(
@@ -475,27 +497,33 @@ def _post_detect(
     # descriptors: quantized blur (ints exact in bf16 -> MXU one-hot path
     # bit-identical to the gather path)
     blur_q = jnp.round(blur)
-    slabs = []
-    for l in range(N_LEVELS):
-        h_l = dims[l][0]
-        seg = jax.lax.slice_in_dim(blur_q, starts[l], starts[l] + h_l)
-        rows = jnp.clip(
-            ys_l[l][:, None] + jnp.arange(-DESC_R, DESC_R + 1)[None, :],
-            0,
-            h_l - 1,
-        )  # [k_l, P]
-        Ey = (rows[:, :, None] == jnp.arange(h_l)[None, None, :]).astype(
-            jnp.bfloat16
-        )
-        slabs.append(
-            jnp.einsum(
-                "kph,hw->kpw",
-                Ey,
-                seg.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        )
-    desc = _describe_onehot_core(jnp.concatenate(slabs), xs, ang, wl, W)
+    offs = jnp.arange(-DESC_R, DESC_R + 1)
+    if SLAB_MODE == "take":
+        # ONE row-gather for ALL keypoints: global blur row = band start +
+        # level-clipped local row (identical values to the one-hot einsums)
+        rows_g = base[:, None] + jnp.clip(ys[:, None] + offs[None, :], 0, hl[:, None] - 1)
+        slab = jnp.take(blur_q, rows_g, axis=0).astype(jnp.bfloat16)  # [K,P,W]
+    else:
+        slabs = []
+        for l in range(N_LEVELS):
+            h_l = dims[l][0]
+            seg = jax.lax.slice_in_dim(blur_q, starts[l], starts[l] + h_l)
+            rows = jnp.clip(
+                ys_l[l][:, None] + offs[None, :], 0, h_l - 1
+            )  # [k_l, P]
+            Ey = (rows[:, :, None] == jnp.arange(h_l)[None, None, :]).astype(
+                jnp.bfloat16
+            )
+            slabs.append(
+                jnp.einsum(
+                    "kph,hw->kpw",
+                    Ey,
+                    seg.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            )
+        slab = jnp.concatenate(slabs)
+    desc = _describe_onehot_core(slab, xs, ang, wl, W)
 
     xy0 = jnp.stack([xs_f, ys_f], -1) * jnp.asarray(scale_np)[:, None]
     return Features(
