@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from mono_slam_framework_tpu.optim.bundle_adjust import BAProblem, _lm_iterations
 
@@ -68,7 +67,7 @@ def _run(mesh, p: BAProblem, n_iters: int, robust: bool, cg_iters: int):
     rep = P()
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             rep, rep, rep,  # cam_T, cam_fixed, points
@@ -76,7 +75,7 @@ def _run(mesh, p: BAProblem, n_iters: int, robust: bool, cg_iters: int):
             rep,  # K
         ),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def body(cam_T, cam_fixed, points, e_cam, e_pt, e_uv, e_valid, e_info, K):
         dummy = jnp.zeros(1, jnp.int32)

@@ -42,9 +42,13 @@ class SlamParameters:
     # Fuse the revisit keyframe's duplicate map points into the matched old
     # keyframe's points before the loop global BA (upstream ORB-SLAM2's
     # SearchAndFuse step, dropped by the reference fork — without it the
-    # loop BA has no constraint tying the loop ends together). False =
-    # reference fork behavior (slam/loop_closing.py::fuse_loop_duplicates).
-    loopFuseDuplicates: bool = False
+    # loop BA has no constraint tying the loop ends together and the
+    # "correction" is a measured no-op: on the rect-loop hard world the
+    # fork arm leaves ATE at 1.28 before==after while this arm pulls it
+    # under 0.25; see QUIRKS.md "loop fuse default"). True (default) beats
+    # the fork's broken behavior; False = strict reference-fork twin
+    # (slam/loop_closing.py::fuse_loop_duplicates).
+    loopFuseDuplicates: bool = True
 
     # Minimum parallax (cosine bound used for triangulation gating,
     # SlamParameters.h:34).

@@ -27,15 +27,25 @@ import os
 import tempfile
 
 
-def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None):
+def run_quality(
+    n_poses: int | None = None,
+    fuse_duplicates: bool | None = None,
+    force_cpu: bool = True,
+    dropout_at: int | None = None,
+):
     import jax
 
-    # the axon sitecustomize pre-imports jax on the TPU; this subprocess is
-    # CPU-only by design (quality is backend-independent host math)
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    if force_cpu:
+        # standalone mode: the axon sitecustomize pre-imports jax on the
+        # TPU; pin this process to CPU (quality is backend-independent host
+        # math). bench.py instead runs the arms IN-PROCESS on the TPU
+        # (force_cpu=False): ~50 ms/frame through the relay vs ~7 s/frame
+        # on this one-core box's XLA-CPU — the only way the quality arms
+        # fit the driver's 30-minute bench budget (VERDICT r4 #1).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import numpy as np
 
     from mono_slam_framework_tpu.io import trajectory
@@ -59,9 +69,10 @@ def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None)
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
         max_features=600, minIniMatchCount=70,
         initializerModelFallback=True,
-        # long single-process CPU run: speculative prewarm compiles cost
-        # XLA-CPU mmap budget (KNOWN_ISSUES.md mmap accumulation)
-        prewarmShapes=False,
+        # CPU: speculative prewarm compiles cost XLA-CPU mmap budget
+        # (KNOWN_ISSUES.md mmap accumulation). TPU: prewarm hides the
+        # ~1.5 s per-bucket executable loads behind the frame loop.
+        prewarmShapes=not force_cpu,
         # SlamParameters is a frozen dataclass: the override must ride the
         # constructor (None = the params.py default)
         **(
@@ -90,18 +101,30 @@ def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None)
     # spy the loop correction to measure ATE immediately before/after
     orig_correct = system.loop_closer.correct_loop
     loop_events: list = []
+    frame_counter = [0]
 
     def spy_correct():
         before = ate_now()
         orig_correct()
-        loop_events.append((before, ate_now()))
+        loop_events.append(
+            (
+                before,
+                ate_now(),
+                frame_counter[0],
+                system.loop_closer.last_fuse_count,
+            )
+        )
 
     system.loop_closer.correct_loop = spy_correct
 
     def _maybe_reclaim_compile_maps():
         # XLA-CPU compiles leak mmaps until vm.max_map_count kills further
         # compiles; clear the executable caches near the limit
-        # (KNOWN_ISSUES.md round-3 mmap section)
+        # (KNOWN_ISSUES.md round-3 mmap section). NEVER on TPU: clearing
+        # would wipe the bench process's dispatch caches for every
+        # subsequent regime.
+        if not force_cpu:
+            return
         try:
             n = sum(1 for _ in open("/proc/self/maps"))
         except OSError:
@@ -114,6 +137,7 @@ def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None)
     t = 0.0
     n_ok = 0
     for i, T in enumerate(poses):
+        frame_counter[0] = i
         if i % 10 == 0:
             _maybe_reclaim_compile_maps()
         system.track_monocular(world.render(T), t)
@@ -124,22 +148,156 @@ def run_quality(n_poses: int | None = None, fuse_duplicates: bool | None = None)
             system.toggle_initialization_allowed()
         if system.tracker.state == TrackingState.OK:
             n_ok += 1
+        if dropout_at is not None and i == dropout_at:
+            # sensor-dropout leg (tests/test_hard_world.py): two flat frames
+            # force LOST -> relocalization
+            for _ in range(2):
+                system.track_monocular(
+                    np.full((world.h, world.w), 128.0, np.float32), t
+                )
+                t += 0.1
 
-    before = after = None
+    before = after = frame_idx = fused = None
     if loop_events:
-        before, after = loop_events[-1]
+        before, after, frame_idx, fused = loop_events[-1]
     rnd = lambda x: None if x is None else round(x, 4)
     return {
         "ate_rmse_hardworld": rnd(ate_now()),
         "ate_loop_before": rnd(before),
         "ate_loop_after": rnd(after),
         "loop_detected": bool(system.loop_closer.last_loop_kf_id > 0),
+        "loop_frame_idx": frame_idx,
+        "loop_fused": fused,
         "quality_frames_ok_share": round(n_ok / max(len(poses), 1), 3),
     }
 
 
+def run_quality_loftr(n_poses: int | None = None, force_cpu: bool = True):
+    """LoFTR matcher quality row (VERDICT r4 #7): the framework exists to
+    compare feature matchers (README.md:1-2, FeatureMatcher.h:41-47), so the
+    driver must track BOTH plugins' tracking quality. Same hard world and
+    rect-loop trajectory as the ORB arms, DNN matcher at the reference app's
+    configuration (threshold 0.1, src/main.cpp:63). Default pose budget is
+    smaller than ORB's: the transformer forward dominates, and the row's
+    purpose is an ATE-quality comparison, not loop coverage."""
+    import jax
+
+    if force_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import numpy as np
+
+    from mono_slam_framework_tpu.io import trajectory
+    from mono_slam_framework_tpu.matchers.loftr_matcher import LoftrFeatureMatcher
+    from mono_slam_framework_tpu.params import SlamParameters
+    from mono_slam_framework_tpu.sim import PlaneWorld, rect_loop_trajectory
+    from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
+    from mono_slam_framework_tpu.slam.frame import reset_frame_ids
+    from mono_slam_framework_tpu.slam.map_model import reset_map_ids
+    from mono_slam_framework_tpu.slam.tracking import TrackingState
+
+    world = PlaneWorld(
+        plane_z=2.0, second_plane=[(2.3, -0.9), (1.7, 0.3)], texture="smooth"
+    )
+    poses = rect_loop_trajectory(3.0, 2.2, 0.09)
+    if n_poses is None:
+        n_poses = int(os.environ.get("QUALITY_LOFTR_POSES", "40"))
+    poses = poses[:n_poses]
+
+    reset_frame_ids()
+    reset_map_ids()
+    params = SlamParameters(
+        fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
+        minIniMatchCount=40, initializerModelFallback=True,
+        prewarmShapes=not force_cpu,
+    )
+    matcher = LoftrFeatureMatcher(threshold=0.1, fine=False)
+    system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
+    system.toggle_initialization_allowed()
+    system.set_minimum_keyframes(0)
+
+    gt_t, gt_p = [], []
+    t = 0.0
+    n_ok = 0
+    for i, T in enumerate(poses):
+        system.track_monocular(world.render(T), t)
+        gt_t.append(t)
+        gt_p.append(-(T[:3, :3].T @ T[:3, 3]))
+        t += 0.1
+        if system.tracker.state == TrackingState.NO_IMAGES_YET:
+            system.toggle_initialization_allowed()
+        if system.tracker.state == TrackingState.OK:
+            n_ok += 1
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "fr.txt")
+        system.save_trajectory_tum(p)
+        t_fr, p_fr, _ = trajectory.read_tum(p)
+    ate = None
+    if len(t_fr) >= 3:
+        a, n = trajectory.ate_rmse(t_fr, p_fr, np.array(gt_t), np.stack(gt_p))
+        ate = float(a) if n >= 10 else None
+    return {
+        "ate_rmse_hardworld_loftr": None if ate is None else round(ate, 4),
+        "quality_loftr_frames_ok_share": round(n_ok / max(len(poses), 1), 3),
+        "quality_loftr_poses": len(poses),
+    }
+
+
 def main() -> None:
-    print(json.dumps(run_quality()))
+    """Emit a CUMULATIVE JSON line after each quality arm so a deadline kill
+    preserves every completed arm (VERDICT r4 #1/#5: the silent-`{}`-on-
+    timeout join burned round 4's quality evidence). Arms, in priority
+    order:
+      1. shipped defaults (loopFuseDuplicates=True): ate_rmse_hardworld +
+         ate_loop_before/after — the default's loop closure must remove
+         drift (VERDICT r4 #2);
+      2. reference-fork twin (fuse off): *_fork fields — the measured no-op
+         being beaten (QUIRKS.md "loop fuse default");
+      3. LoFTR matcher row: ate_rmse_hardworld_loftr (VERDICT r4 #7).
+    A wall-clock deadline (QUALITY_DEADLINE_S, default 1200 s) is checked
+    between arms; arms that would start past it are skipped."""
+    import time
+
+    t0 = time.monotonic()
+    deadline = float(os.environ.get("QUALITY_DEADLINE_S", "1200"))
+    n_poses = os.environ.get("QUALITY_POSES")
+    n_poses = int(n_poses) if n_poses else None
+
+    out: dict = {}
+
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    arms = [
+        (None, lambda: run_quality(n_poses=n_poses)),
+        (
+            "_fork",
+            lambda: run_quality(n_poses=n_poses, fuse_duplicates=False),
+        ),
+        ("_loftr", run_quality_loftr),
+    ]
+    for suffix, fn in arms:
+        if time.monotonic() - t0 > deadline:
+            out.setdefault("quality_skipped_arms", []).append(suffix or "default")
+            continue
+        try:
+            fields = fn()
+        except Exception as e:
+            out[f"quality_error{suffix or ''}"] = repr(e)[:200]
+            emit()
+            continue
+        if suffix and suffix != "_loftr":
+            fields = {
+                (k + suffix if not k.endswith(suffix) else k): v
+                for k, v in fields.items()
+            }
+        out.update(fields)
+        emit()
+    if "quality_skipped_arms" in out:
+        emit()
 
 
 if __name__ == "__main__":

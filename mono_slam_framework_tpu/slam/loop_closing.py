@@ -26,6 +26,7 @@ class LoopClosing:
         self.fuse_duplicates = getattr(params, "loopFuseDuplicates", False)
         self.queue: list = []
         self.last_loop_kf_id = 0
+        self.last_fuse_count = 0  # duplicates merged by the last loop fuse
         self.full_ba_idx = False
         self.current_kf = None
         self.matched_kf = None
@@ -95,15 +96,18 @@ class LoopClosing:
         """Fuse the revisit keyframe's duplicate map points into the matched
         (old) keyframe side's points, creating real cross-loop observations.
 
-        Opt-in restoration of upstream ORB-SLAM2's loop SearchAndFuse step
-        (its LoopClosing::CorrectLoop calls SearchAndFuse before the loop
-        BA), which the reference fork dropped — without it the global BA has
+        Restores upstream ORB-SLAM2's loop SearchAndFuse step (its
+        LoopClosing::CorrectLoop calls SearchAndFuse before the loop BA),
+        which the reference fork dropped — without it the global BA has
         NO constraint tying the loop ends together: the detected loop stays
-        double-mapped and the correction cannot remove accumulated drift.
-        Like upstream, the fuse covers the matched keyframe AND its best
-        covisibles (one batched matcher call), so the loop gets pulled by
-        tens of constraints rather than a single pair.
-        `SlamParameters.loopFuseDuplicates` (default False = fork behavior).
+        double-mapped and the correction cannot remove accumulated drift
+        (measured on the rect-loop hard world: fork arm leaves
+        ate_loop_before == ate_loop_after; see QUIRKS.md "loop fuse
+        default"). Like upstream, the fuse covers the matched keyframe AND
+        its best covisibles (one batched matcher call), so the loop gets
+        pulled by tens of constraints rather than a single pair.
+        `SlamParameters.loopFuseDuplicates` (default True; False = strict
+        fork-twin behavior).
         """
         targets = [self.matched_kf] + [
             kf
@@ -128,6 +132,7 @@ class LoopClosing:
                 # geometry and usually carries more observations)
                 mp_new.replace(mp_old)
                 n_fused += 1
+        self.last_fuse_count = n_fused
         self._log(f"Loop fuse: {n_fused} duplicate map points merged")
 
     def run_global_bundle_adjustment(self, loop_kf_id: int) -> None:
