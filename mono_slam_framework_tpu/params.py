@@ -50,6 +50,16 @@ class SlamParameters:
     # (slam/loop_closing.py::fuse_loop_duplicates).
     loopFuseDuplicates: bool = True
 
+    # With loopFuseDuplicates: distribute the measured loop correction
+    # (Sim3 from the duplicate map-point pairs) along the keyframe chain
+    # BEFORE fusing and running the loop global BA — upstream ORB-SLAM2's
+    # CorrectLoop ordering (Sim3 correction -> SearchAndFuse -> optimize),
+    # which the reference fork dropped along with the Sim3 solver. Without
+    # it the GBA starts a full loop-gap outside its convergence basin and
+    # is a measured no-op (QUIRKS.md "loop fuse default";
+    # slam/loop_closing.py::_prealign_loop, geometry/sim3.py).
+    loopPrealignSim3: bool = True
+
     # Minimum parallax (cosine bound used for triangulation gating,
     # SlamParameters.h:34).
     minimumParallax: float = 1.1

@@ -24,6 +24,7 @@ class LoopClosing:
         self.loop_detection_max_frames = params.loopDetectionMaxFrames
         self.min_num_mp_matches = params.minNumMPMatches
         self.fuse_duplicates = getattr(params, "loopFuseDuplicates", False)
+        self.prealign = getattr(params, "loopPrealignSim3", True)
         self.queue: list = []
         self.last_loop_kf_id = 0
         self.last_fuse_count = 0  # duplicates merged by the last loop fuse
@@ -81,7 +82,13 @@ class LoopClosing:
         return True
 
     def correct_loop(self) -> None:
-        """LoopClosing.cc:101-115."""
+        """LoopClosing.cc:101-115, plus (fuse path) the Sim(3) chain
+        pre-alignment upstream ORB-SLAM2 performs before fusing and
+        optimizing (its CorrectLoop computes a loop Sim3, corrects the
+        covisible window, THEN SearchAndFuse + optimization) — without it
+        the polishing global BA starts a full loop-gap outside its
+        convergence basin and is a measured no-op (QUIRKS.md "loop fuse
+        default")."""
         self._log("Loop detected!")
         self.full_ba_idx = True
         if self.fuse_duplicates:
@@ -91,6 +98,86 @@ class LoopClosing:
         if self.local_mapper is not None:
             self.local_mapper.release()
         self.last_loop_kf_id = self.current_kf.id
+
+    def _prealign_loop(self, pairs) -> bool:
+        """Distribute the measured loop correction along the keyframe chain.
+
+        `pairs` are (mp_new, mp_old) duplicate map points: the same physical
+        point as mapped by the revisit (drifted) tail and by the original
+        (anchored) pass. Umeyama over the pairs measures the world
+        correction G (Sim3: monocular drift includes scale); each keyframe
+        k then gets G^w(k) with w ramping 0 -> 1 over keyframe ids from the
+        matched keyframe to the revisit keyframe — drift accumulated along
+        the chain, so the correction is distributed along it. Map points
+        are corrected once via their reference keyframe's weight. The
+        polishing GBA then starts near the corrected optimum instead of a
+        full loop-gap away.
+        """
+        import numpy as np
+
+        from mono_slam_framework_tpu.geometry import sim3 as s3
+        from mono_slam_framework_tpu.io.trajectory import umeyama_alignment
+
+        if len(pairs) < 8:
+            return False
+        new_pts = np.stack([p[0].world_pos for p in pairs])
+        old_pts = np.stack([p[1].world_pos for p in pairs])
+        s, R, t = umeyama_alignment(new_pts, old_pts, with_scale=True)
+        # one robust re-fit: drop pairs whose residual exceeds 3x the median
+        # (false duplicate matches would skew the whole chain correction)
+        res = np.linalg.norm(
+            s3.apply_sim3(s, R, t, new_pts) - old_pts, axis=1
+        )
+        keep = res <= 3.0 * max(float(np.median(res)), 1e-9)
+        if keep.sum() >= 8 and keep.sum() < len(pairs):
+            s, R, t = umeyama_alignment(
+                new_pts[keep], old_pts[keep], with_scale=True
+            )
+        id0 = self.matched_kf.id
+        id1 = self.current_kf.id
+        if id1 <= id0:
+            return False
+        span = float(id1 - id0)
+        self._log(
+            f"Loop prealign: |pairs|={len(pairs)} scale={s:.4f} "
+            f"|t|={float(np.linalg.norm(t)):.4f}"
+        )
+
+        weights = {}
+        for kf in self.map.all_keyframes():
+            if kf.is_bad:
+                continue
+            w = min(max((kf.id - id0) / span, 0.0), 1.0)
+            weights[kf.id] = (kf, w)
+        powers = {
+            w: s3.sim3_power(s, R, t, w)
+            for w in {wv for _, wv in weights.values()}
+        }
+        # correct map points FIRST (via the pre-correction reference poses'
+        # weights), then keyframe poses
+        for mp in self.map.all_map_points():
+            if mp.is_bad or mp.ref_kf is None:
+                continue
+            ent = weights.get(mp.ref_kf.id)
+            if ent is None:
+                continue
+            w = ent[1]
+            if w <= 0.0:
+                continue
+            sw, Rw, tw = powers[w]
+            mp.set_world_pos(
+                s3.apply_sim3(sw, Rw, tw, mp.world_pos).astype(np.float32)
+            )
+        for kf, w in weights.values():
+            if w <= 0.0:
+                continue
+            sw, Rw, tw = powers[w]
+            kf.set_pose(s3.corrected_pose(kf.get_pose(), sw, Rw, tw))
+        # normals/depths follow the moved geometry
+        for mp in self.map.all_map_points():
+            if not mp.is_bad:
+                mp.update_normal_and_depth()
+        return True
 
     def fuse_loop_duplicates(self) -> None:
         """Fuse the revisit keyframe's duplicate map points into the matched
@@ -115,7 +202,8 @@ class LoopClosing:
             if not kf.is_bad
         ]
         results = self.matcher.match_against_many(self.current_kf, targets)
-        n_fused = 0
+        pairs = []
+        seen = set()
         for res in results:
             for i in range(res.num_matches):
                 mp_new = res.get_map_point1(i)
@@ -128,10 +216,23 @@ class LoopClosing:
                     or mp_old.is_bad
                 ):
                     continue
-                # the OLD point survives (it anchors the older, less-drifted
-                # geometry and usually carries more observations)
-                mp_new.replace(mp_old)
-                n_fused += 1
+                key = (id(mp_new), id(mp_old))
+                if key in seen:
+                    continue
+                seen.add(key)
+                pairs.append((mp_new, mp_old))
+        # Sim(3) chain pre-alignment from the duplicate pairs BEFORE fusing
+        # (upstream CorrectLoop order: correct, then SearchAndFuse)
+        if self.prealign:
+            self._prealign_loop(pairs)
+        n_fused = 0
+        for mp_new, mp_old in pairs:
+            if mp_new.is_bad or mp_old.is_bad:
+                continue
+            # the OLD point survives (it anchors the older, less-drifted
+            # geometry and usually carries more observations)
+            mp_new.replace(mp_old)
+            n_fused += 1
         self.last_fuse_count = n_fused
         self._log(f"Loop fuse: {n_fused} duplicate map points merged")
 

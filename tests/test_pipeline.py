@@ -26,7 +26,7 @@ def world():
     return PlaneWorld(second_plane=(3.0, 0.3))
 
 
-def build_system(world, verbose=False):
+def build_system(world, verbose=False, **overrides):
     reset_frame_ids()
     reset_map_ids()
     # minIniMatchCount=100 (upstream ORB-SLAM2's monocular value): the
@@ -41,6 +41,7 @@ def build_system(world, verbose=False):
         max_features=400,
         minIniMatchCount=100,
         initializerModelFallback=True,
+        **overrides,
     )
     matcher = OrbFeatureMatcher(threshold=0.7, max_features=400)
     kf_db = KeyFrameMatchDatabase(matcher)

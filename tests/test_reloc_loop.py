@@ -117,7 +117,11 @@ class TestLoopClosing:
         from mono_slam_framework_tpu.slam.map_model import MapPoint
 
         poses = lateral_trajectory(16, step=0.07)
-        system = build_system(world)
+        # prealign off: this surgical test pins the EXACT staged-GBA
+        # mechanics (Tcw_bef_gba snapshots to 1e-6); the Sim3 chain
+        # pre-alignment legitimately nudges poses before the GBA (its own
+        # coverage: tests/test_sim3.py + the hard-world quality arms)
+        system = build_system(world, loopPrealignSim3=False)
         system.toggle_initialization_allowed()
         states = run_sequence(system, world, poses)
         assert TrackingState.OK in states
