@@ -140,6 +140,115 @@ def apply_sim3(s: float, R: np.ndarray, t: np.ndarray, X: np.ndarray):
     )
 
 
+def _umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool):
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var = (xs**2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / var) if var > 0 else 1.0
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def rotation_angle(R: np.ndarray) -> float:
+    return float(
+        np.arccos(np.clip((np.trace(np.asarray(R, float)) - 1.0) * 0.5, -1, 1))
+    )
+
+
+def fit_sim3_robust(
+    new_pts: np.ndarray,
+    old_pts: np.ndarray,
+    scale_bounds: tuple = (0.5, 2.0),
+    max_angle: float = 0.6,
+    trim_rounds: int = 2,
+):
+    """Robust similarity fit old ≈ s·R·new + t for loop pre-alignment.
+
+    Loop duplicate pairs are FEW and partly WRONG (ratio-test survivors
+    across a drift gap), and Umeyama's closed-form scale tr(DS)/var
+    collapses toward 0 under uncorrelated matches — a raw fit once measured
+    scale 0.006 on a real loop and crushed the whole revisit map. Hierarchy
+    with sanity gates instead:
+
+      1. residual-trimmed Umeyama Sim(3): accept if scale within
+         `scale_bounds` and rotation below `max_angle` (monocular drift
+         over one loop is a small correction, never a 166x shrink);
+      2. else the SE(3) fit (scale pinned 1), same rotation gate;
+      3. else pure translation (component-wise median of old - new) —
+         always well-posed down to a handful of pairs.
+
+    Whatever model wins must IMPROVE the pairs' median residual vs the
+    identity (no correction) or None is returned — insurance that a
+    degenerate pair set can never scramble the map.
+    """
+    new_pts = np.asarray(new_pts, float)
+    old_pts = np.asarray(old_pts, float)
+    n = len(new_pts)
+    if n < 4:
+        return None
+
+    # robust seed: inliers under the translation-median floor model (a raw
+    # least-squares seed lets 25% wild outliers poison the first fit so
+    # badly the trim can no longer separate them)
+    t_med = np.median(old_pts - new_pts, axis=0)
+    res_seed = np.linalg.norm(old_pts - new_pts - t_med, axis=1)
+    keep_seed = res_seed <= 3.0 * max(float(np.median(res_seed)), 1e-9)
+
+    def trimmed(with_scale: bool):
+        keep = keep_seed.copy()
+        fit = None
+        for _ in range(trim_rounds):
+            if keep.sum() < 4:
+                break
+            fit = _umeyama(new_pts[keep], old_pts[keep], with_scale)
+            res = np.linalg.norm(
+                apply_sim3(*fit, new_pts) - old_pts, axis=1
+            )
+            med = float(np.median(res[keep]))
+            keep = res <= 3.0 * max(med, 1e-9)
+        return fit
+
+    candidates = []
+    fit = trimmed(with_scale=True)
+    if (
+        fit is not None
+        and scale_bounds[0] <= fit[0] <= scale_bounds[1]
+        and rotation_angle(fit[1]) <= max_angle
+    ):
+        candidates.append(fit)
+    if not candidates:
+        fit = trimmed(with_scale=False)
+        if fit is not None and rotation_angle(fit[1]) <= max_angle:
+            candidates.append(fit)
+    # translation-only floor model
+    candidates.append((1.0, np.eye(3), t_med))
+
+    res0 = float(
+        np.median(np.linalg.norm(old_pts - new_pts, axis=1))
+    )
+    best, best_res = None, res0
+    for s, R, t in candidates:
+        res = float(
+            np.median(
+                np.linalg.norm(apply_sim3(s, R, t, new_pts) - old_pts, axis=1)
+            )
+        )
+        if res < best_res:
+            best, best_res = (s, R, t), res
+    return best
+
+
 def corrected_pose(Tcw: np.ndarray, s: float, R: np.ndarray, t: np.ndarray):
     """SE(3) camera pose after correcting the WORLD by X' = s R X + t.
 

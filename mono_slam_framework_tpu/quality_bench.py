@@ -63,11 +63,20 @@ def run_quality(
     if n_poses is not None:
         poses = poses[:n_poses]
 
+    # 2000 features — the north-star operating point. Measured on the real
+    # chip (tools/tpu_loop_diag.py A/B): at 600 features the smooth-texture
+    # map is too thin at the third corner (inliers 72 -> 2, LOST, reloc
+    # snaps onto the old map and the genuine loop never fires), while at
+    # 2000 the corner survives and the loop fires with ~20 both-side-MP
+    # matches. It also shares every extract/match executable with the perf
+    # regimes when bench.py runs these arms in-process on the TPU (the
+    # 600-feature bucket family alone cost ~190 s of relay loads).
+    maxf = 600 if force_cpu else 2000
     reset_frame_ids()
     reset_map_ids()
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
-        max_features=600, minIniMatchCount=70,
+        max_features=maxf, minIniMatchCount=70,
         initializerModelFallback=True,
         # CPU: speculative prewarm compiles cost XLA-CPU mmap budget
         # (KNOWN_ISSUES.md mmap accumulation). TPU: prewarm hides the
@@ -81,7 +90,7 @@ def run_quality(
             else {"loopFuseDuplicates": fuse_duplicates}
         ),
     )
-    matcher = OrbFeatureMatcher(threshold=0.7, max_features=600)
+    matcher = OrbFeatureMatcher(threshold=0.7, max_features=maxf)
     system = System(params, matcher, KeyFrameMatchDatabase(matcher), verbose=False)
     system.toggle_initialization_allowed()
     system.set_minimum_keyframes(0)

@@ -116,30 +116,35 @@ class LoopClosing:
         import numpy as np
 
         from mono_slam_framework_tpu.geometry import sim3 as s3
-        from mono_slam_framework_tpu.io.trajectory import umeyama_alignment
 
-        if len(pairs) < 8:
+        # one vote per distinct (new, old) POINT: a new point matched in
+        # several target keyframes, or several new points fused into one old
+        # point, must not multiply-weight (and can degenerate) the fit
+        seen_new, seen_old, uniq = set(), set(), []
+        for mp_new, mp_old in pairs:
+            kn, ko = id(mp_new), id(mp_old)
+            if kn in seen_new or ko in seen_old:
+                continue
+            seen_new.add(kn)
+            seen_old.add(ko)
+            uniq.append((mp_new, mp_old))
+        if len(uniq) < 8:
             return False
-        new_pts = np.stack([p[0].world_pos for p in pairs])
-        old_pts = np.stack([p[1].world_pos for p in pairs])
-        s, R, t = umeyama_alignment(new_pts, old_pts, with_scale=True)
-        # one robust re-fit: drop pairs whose residual exceeds 3x the median
-        # (false duplicate matches would skew the whole chain correction)
-        res = np.linalg.norm(
-            s3.apply_sim3(s, R, t, new_pts) - old_pts, axis=1
-        )
-        keep = res <= 3.0 * max(float(np.median(res)), 1e-9)
-        if keep.sum() >= 8 and keep.sum() < len(pairs):
-            s, R, t = umeyama_alignment(
-                new_pts[keep], old_pts[keep], with_scale=True
-            )
+        new_pts = np.stack([p[0].world_pos for p in uniq])
+        old_pts = np.stack([p[1].world_pos for p in uniq])
+        fit = s3.fit_sim3_robust(new_pts, old_pts)
+        if fit is None:
+            self._log("Loop prealign: no correction improves the pairs; skipped")
+            return False
+        s, R, t = fit
         id0 = self.matched_kf.id
         id1 = self.current_kf.id
         if id1 <= id0:
             return False
         span = float(id1 - id0)
         self._log(
-            f"Loop prealign: |pairs|={len(pairs)} scale={s:.4f} "
+            f"Loop prealign: |pairs|={len(pairs)} uniq={len(uniq)} "
+            f"scale={s:.4f} rot={s3.rotation_angle(R):.4f} "
             f"|t|={float(np.linalg.norm(t)):.4f}"
         )
 

@@ -73,6 +73,68 @@ class TestSim3:
         assert abs(s1 - s) < 1e-12 and np.abs(t1 - t).max() < 1e-12
 
 
+class TestFitSim3Robust:
+    def _pairs(self, rng, s, R, t, n=40, noise=0.0):
+        new = rng.normal(size=(n, 3)) * 1.5 + [0, 0, 5]
+        old = sim3.apply_sim3(s, R, t, new)
+        if noise:
+            old = old + rng.normal(size=old.shape) * noise
+        return new, old
+
+    def test_clean_recovery(self):
+        rng = np.random.default_rng(10)
+        s, R, t = 1.12, sim3.exp_so3(np.array([0.02, -0.05, 0.03])), np.array(
+            [0.6, -0.2, 0.1]
+        )
+        new, old = self._pairs(rng, s, R, t, noise=0.002)
+        fs, fR, ft = sim3.fit_sim3_robust(new, old)
+        assert abs(fs - s) < 0.01
+        assert np.abs(fR - R).max() < 0.01
+        assert np.abs(ft - t).max() < 0.02
+
+    def test_outlier_tolerance(self):
+        rng = np.random.default_rng(11)
+        s, R, t = 0.95, np.eye(3), np.array([-0.4, 0.8, 0.0])
+        new, old = self._pairs(rng, s, R, t, n=40, noise=0.005)
+        # 25% wild outliers (false duplicate matches)
+        old[:10] = rng.normal(size=(10, 3)) * 4.0
+        fs, fR, ft = sim3.fit_sim3_robust(new, old)
+        assert abs(fs - s) < 0.05
+        assert np.abs(ft - t).max() < 0.1
+
+    def test_degenerate_matches_fall_back_to_translation(self):
+        """Uncorrelated matches collapse the closed-form Umeyama scale
+        toward 0 (measured 0.006 on a real loop before the gates); the
+        robust fit must degrade to a sane model, never a map-crushing one."""
+        rng = np.random.default_rng(12)
+        new = rng.normal(size=(20, 3)) * 1.5 + [0, 0, 5]
+        # old points: same cloud shifted, but pairing SCRAMBLED (all matches
+        # wrong) -> cross-covariance ~0
+        perm = rng.permutation(20)
+        old = new[perm] + [1.0, 0.0, 0.0]
+        fit = sim3.fit_sim3_robust(new, old)
+        if fit is not None:
+            fs, fR, ft = fit
+            assert 0.5 <= fs <= 2.0
+            assert sim3.rotation_angle(fR) <= 0.6
+
+    def test_no_improvement_returns_none(self):
+        rng = np.random.default_rng(13)
+        new = rng.normal(size=(12, 3))
+        old = rng.normal(size=(12, 3)) * 0.01  # clustered: nothing helps
+        fit = sim3.fit_sim3_robust(new, old)
+        # either skipped outright or a gated model that genuinely improves
+        if fit is not None:
+            res0 = np.median(np.linalg.norm(old - new, axis=1))
+            res = np.median(
+                np.linalg.norm(sim3.apply_sim3(*fit, new) - old, axis=1)
+            )
+            assert res < res0
+
+    def test_few_pairs_returns_none(self):
+        assert sim3.fit_sim3_robust(np.zeros((3, 3)), np.ones((3, 3))) is None
+
+
 class TestCorrectedPose:
     def test_projection_invariance(self):
         """Correcting the world by G and the pose by corrected_pose leaves

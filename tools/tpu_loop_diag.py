@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import jax
 
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/mono_slam_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
@@ -33,8 +35,11 @@ def main():
 
     n_poses = None
     dropout = "--dropout" in sys.argv
+    maxf = 600
     for a in sys.argv[1:]:
-        if a.isdigit():
+        if a.startswith("--features="):
+            maxf = int(a.split("=")[1])
+        elif a.isdigit():
             n_poses = int(a)
 
     print("backend:", jax.default_backend(), flush=True)
@@ -47,12 +52,13 @@ def main():
 
     reset_frame_ids()
     reset_map_ids()
+    print("max_features:", maxf, flush=True)
     params = SlamParameters(
         fx=world.f, fy=world.f, cx=world.cx, cy=world.cy,
-        max_features=600, minIniMatchCount=70,
-        initializerModelFallback=True, prewarmShapes=True,
+        max_features=maxf, minIniMatchCount=70,
+        initializerModelFallback=True, prewarmShapes="--cpu" not in sys.argv,
     )
-    matcher = OrbFeatureMatcher(threshold=0.7, max_features=600)
+    matcher = OrbFeatureMatcher(threshold=0.7, max_features=maxf)
 
     class DiagDB(KeyFrameMatchDatabase):
         def __init__(self, m):
@@ -87,18 +93,55 @@ def main():
             return best
 
     kf_db = DiagDB(matcher)
-    system = System(params, matcher, kf_db, verbose=False)
+    verbose = "--verbose" in sys.argv
+    system = System(params, matcher, kf_db, verbose=verbose)
     system.toggle_initialization_allowed()
     system.set_minimum_keyframes(0)
+    system.loop_closer.verbose = True  # always show prealign/fuse lines
 
     gt_t, gt_p = [], []
     timeline = []
     kf_by_frame = {}
     frame_rows = []  # (i, wall_ms, state, inliers, n_kf, n_mp)
+
+    # spy the loop correction: ATE immediately before/after (quality_bench's
+    # measurement), plus the correction's frame index
+    import tempfile
+
+    from mono_slam_framework_tpu.io import trajectory as _traj
+
+    def ate_now():
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "fr.txt")
+            system.save_trajectory_tum(p)
+            t_fr, p_fr, _ = _traj.read_tum(p)
+        if len(t_fr) < 3:
+            return None
+        a, n = _traj.ate_rmse(t_fr, p_fr, np.array(gt_t), np.stack(gt_p))
+        return float(a) if n >= 10 else None
+
+    loop_events = []
+    _orig_correct = system.loop_closer.correct_loop
+
+    def spy_correct():
+        b = ate_now()
+        _orig_correct()
+        loop_events.append((b, ate_now()))
+        print(f"LOOP EVENT: before={b} after={loop_events[-1][1]}", flush=True)
+
+    system.loop_closer.correct_loop = spy_correct
     t0 = time.perf_counter()
     t = 0.0
     imgs_pre = [world.render(T) for T in poses]  # render outside timing
+    on_cpu = "--cpu" in sys.argv
     for i, T in enumerate(poses):
+        if on_cpu and i % 10 == 0:
+            # XLA-CPU mmap guard (KNOWN_ISSUES.md round-3)
+            try:
+                if sum(1 for _ in open("/proc/self/maps")) > 45_000:
+                    jax.clear_caches()
+            except OSError:
+                pass
         f0 = time.perf_counter()
         system.track_monocular(imgs_pre[i], t)
         fms = (time.perf_counter() - f0) * 1000.0
