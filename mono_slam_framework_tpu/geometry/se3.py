@@ -74,10 +74,16 @@ def orthonormalize(T):
 
 
 def log_so3(R):
-    """3x3 rotation -> 3-vector (angle-axis)."""
+    """3x3 rotation -> 3-vector (angle-axis).
+
+    atan2 form (sin from the antisymmetric part, cos from the trace): more
+    accurate than arccos for small angles in f32 AND autodiff-safe — the
+    arccos form has an infinite derivative at the identity, which poisons
+    jacfwd-based optimizers (optim/pose_graph.py) with NaNs on zero-residual
+    edges. The small-angle branch is double-where-guarded so the sqrt never
+    sees 0 under differentiation."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -86,9 +92,12 @@ def log_so3(R):
         ],
         axis=-1,
     )
-    small = theta < 1e-6
-    th = jnp.where(small, jnp.ones_like(theta), theta)
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, th / (2.0 * jnp.sin(th)))
+    s2 = 0.25 * jnp.sum(vee * vee, axis=-1)  # sin^2(theta)
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, jnp.ones_like(s2), s2)
+    sin_t = jnp.sqrt(s2_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(small, 0.5 + s2 / 12.0, theta / (2.0 * sin_t))
     return scale[..., None] * vee
 
 

@@ -50,14 +50,15 @@ class SlamParameters:
     # (slam/loop_closing.py::fuse_loop_duplicates).
     loopFuseDuplicates: bool = True
 
-    # With loopFuseDuplicates: distribute the measured loop correction
-    # (Sim3 from the duplicate map-point pairs) along the keyframe chain
-    # BEFORE fusing and running the loop global BA — upstream ORB-SLAM2's
-    # CorrectLoop ordering (Sim3 correction -> SearchAndFuse -> optimize),
-    # which the reference fork dropped along with the Sim3 solver. Without
-    # it the GBA starts a full loop-gap outside its convergence basin and
-    # is a measured no-op (QUIRKS.md "loop fuse default";
-    # slam/loop_closing.py::_prealign_loop, geometry/sim3.py).
+    # With loopFuseDuplicates: before fusing and running the loop global
+    # BA, measure the loop correction (robust Sim3 over the duplicate
+    # map-point pairs, geometry/sim3.py::fit_sim3_robust) and distribute it
+    # around the whole keyframe chain with an SE(3) essential-graph
+    # optimization (optim/pose_graph.py) — upstream ORB-SLAM2's CorrectLoop
+    # ordering (Sim3 -> SearchAndFuse -> OptimizeEssentialGraph), which the
+    # reference fork dropped along with the Sim3 solver. Without it the GBA
+    # starts a full loop-gap outside its convergence basin and is a measured
+    # no-op (QUIRKS.md "loop fuse default").
     loopPrealignSim3: bool = True
 
     # Minimum parallax (cosine bound used for triangulation gating,

@@ -69,6 +69,22 @@ def prewarm_startup_shapes(matcher=None) -> None:
     )
     if matcher is not None and hasattr(matcher, "prewarm_match_many"):
         matcher.prewarm_match_many()
+    # loop essential-graph rungs (optim/pose_graph.py): the loop event is
+    # once-per-run, so an unwarmed compile would stall the correction for
+    # the full relay compile time right at the moment quality is measured
+    from mono_slam_framework_tpu.optim.pose_graph import optimize_pose_graph
+
+    for ncap, ecap in ((16, 128), (64, 512)):
+        prewarm(
+            optimize_pose_graph,
+            sds((ncap, 4, 4), f32),
+            sds((ncap,), jnp.bool_),
+            sds((ecap,), jnp.int32),
+            sds((ecap,), jnp.int32),
+            sds((ecap, 4, 4), f32),
+            sds((ecap,), jnp.bool_),
+            sds((ecap,), f32),
+        )
 
 
 def _pow2(n: int, floor: int = 64) -> int:

@@ -69,7 +69,11 @@ class KeyFrameMatchDatabase(KeyFrameDatabase):
         results = self.matcher.match_against_many(kf, self.frames)
         best, best_num = None, 0
         for kfi, res in zip(self.frames, results):
-            if res.num_matches == 0 or kfi in connected:
+            # num_mp <= num_matches, so targets at or under the strict '>'
+            # threshold can never win — skip their per-match map lookups
+            # (the Python walk over every target's matches dominated the
+            # scan cost at 2000 features)
+            if res.num_matches <= min_num_mp_matches or kfi in connected:
                 continue
             num_mp = 0
             for i in range(res.num_matches):

@@ -100,22 +100,33 @@ class LoopClosing:
         self.last_loop_kf_id = self.current_kf.id
 
     def _prealign_loop(self, pairs) -> bool:
-        """Distribute the measured loop correction along the keyframe chain.
+        """Distribute the measured loop correction around the whole chain
+        with an essential-graph (pose-graph) optimization — upstream
+        ORB-SLAM2's OptimizeEssentialGraph, which the reference fork dropped
+        (LoopClosing.cc:101-115 runs only a global BA).
 
         `pairs` are (mp_new, mp_old) duplicate map points: the same physical
         point as mapped by the revisit (drifted) tail and by the original
-        (anchored) pass. Umeyama over the pairs measures the world
-        correction G (Sim3: monocular drift includes scale); each keyframe
-        k then gets G^w(k) with w ramping 0 -> 1 over keyframe ids from the
-        matched keyframe to the revisit keyframe — drift accumulated along
-        the chain, so the correction is distributed along it. Map points
-        are corrected once via their reference keyframe's weight. The
-        polishing GBA then starts near the corrected optimum instead of a
-        full loop-gap away.
+        (anchored) pass. A robust Sim(3) fit over the pairs
+        (geometry/sim3.py::fit_sim3_robust) measures the loop correction G;
+        the corrected revisit pose becomes the LOOP EDGE of an SE(3) pose
+        graph whose other edges (spanning tree + strong covisibility,
+        weight > 100 like upstream) carry the relative poses the tracker
+        measured. One jitted damped-GN program (optim/pose_graph.py) solves
+        the graph; map points then follow their reference keyframe's pose
+        delta, exactly the reference's own GBA-propagation rule
+        (Tcw_bef_gba re-anchoring, run_global_bundle_adjustment). The
+        polishing GBA afterwards starts near the corrected optimum with per-
+        leg drift already bent out — a bare GBA measures as a no-op here
+        because the drifted configuration is reprojection-consistent
+        except at the handful of cross-loop constraints.
         """
         import numpy as np
 
         from mono_slam_framework_tpu.geometry import sim3 as s3
+        from mono_slam_framework_tpu.optim.pose_graph import (
+            optimize_pose_graph_np,
+        )
 
         # one vote per distinct (new, old) POINT: a new point matched in
         # several target keyframes, or several new points fused into one old
@@ -137,47 +148,86 @@ class LoopClosing:
             self._log("Loop prealign: no correction improves the pairs; skipped")
             return False
         s, R, t = fit
-        id0 = self.matched_kf.id
-        id1 = self.current_kf.id
-        if id1 <= id0:
-            return False
-        span = float(id1 - id0)
         self._log(
             f"Loop prealign: |pairs|={len(pairs)} uniq={len(uniq)} "
             f"scale={s:.4f} rot={s3.rotation_angle(R):.4f} "
             f"|t|={float(np.linalg.norm(t)):.4f}"
         )
 
-        weights = {}
-        for kf in self.map.all_keyframes():
-            if kf.is_bad:
-                continue
-            w = min(max((kf.id - id0) / span, 0.0), 1.0)
-            weights[kf.id] = (kf, w)
-        powers = {
-            w: s3.sim3_power(s, R, t, w)
-            for w in {wv for _, wv in weights.values()}
-        }
-        # correct map points FIRST (via the pre-correction reference poses'
-        # weights), then keyframe poses
+        # --- essential graph ------------------------------------------------
+        kfs = sorted(
+            (kf for kf in self.map.all_keyframes() if not kf.is_bad),
+            key=lambda k: k.id,
+        )
+        if len(kfs) < 3 or self.matched_kf.is_bad:
+            return False
+        index = {kf: i for i, kf in enumerate(kfs)}
+        T_old = [kf.get_pose().astype(np.float32).copy() for kf in kfs]
+        e_i, e_j, T_meas, e_w = [], [], [], []
+        seen_edges = set()
+
+        def add_edge(a, b, T_ab, w):
+            key = (min(a, b), max(a, b))
+            if a == b or key in seen_edges:
+                return
+            seen_edges.add(key)
+            e_i.append(a)
+            e_j.append(b)
+            T_meas.append(T_ab)
+            e_w.append(w)
+
+        for kf in kfs:
+            i = index[kf]
+            if kf.parent is not None and kf.parent in index:
+                j = index[kf.parent]
+                add_edge(i, j, T_old[i] @ np.linalg.inv(T_old[j]), 1.0)
+            # strong covisibility edges (KeyFrame.cc threshold heritage:
+            # upstream's essential graph keeps weight > 100)
+            for kf2 in kf.get_covisibles_by_weight(100):
+                if kf2 in index:
+                    j = index[kf2]
+                    add_edge(i, j, T_old[i] @ np.linalg.inv(T_old[j]), 1.0)
+        # the loop edge: corrected revisit pose vs the matched keyframe
+        ic = index.get(self.current_kf)
+        im = index.get(self.matched_kf)
+        if ic is None or im is None:
+            return False
+        Tc_corr = s3.corrected_pose(T_old[ic], s, R, t)
+        add_edge(ic, im, Tc_corr @ np.linalg.inv(T_old[im]), 10.0)
+
+        fixed = np.zeros(len(kfs), bool)
+        fixed[im] = True  # gauge: the matched (anchored) side stays put
+        fixed[index[kfs[0]]] = True
+        T_new = optimize_pose_graph_np(
+            np.stack(T_old), fixed, e_i, e_j, np.stack(T_meas), e_w
+        )
+        self._log(
+            f"Loop essential graph: {len(kfs)} nodes, {len(e_i)} edges"
+        )
+
+        # map points follow their reference keyframe's pose delta
+        # (X' = T_new^-1 T_old X), then poses write back
+        deltas = {}
+        for i, kf in enumerate(kfs):
+            deltas[kf] = (np.linalg.inv(T_new[i]) @ T_old[i]).astype(
+                np.float32
+            )
+        by_ref: dict = {}
         for mp in self.map.all_map_points():
             if mp.is_bad or mp.ref_kf is None:
                 continue
-            ent = weights.get(mp.ref_kf.id)
-            if ent is None:
+            D = deltas.get(mp.ref_kf)
+            if D is None:
                 continue
-            w = ent[1]
-            if w <= 0.0:
-                continue
-            sw, Rw, tw = powers[w]
-            mp.set_world_pos(
-                s3.apply_sim3(sw, Rw, tw, mp.world_pos).astype(np.float32)
-            )
-        for kf, w in weights.values():
-            if w <= 0.0:
-                continue
-            sw, Rw, tw = powers[w]
-            kf.set_pose(s3.corrected_pose(kf.get_pose(), sw, Rw, tw))
+            by_ref.setdefault(id(mp.ref_kf), (D, []))[1].append(mp)
+        for D, mps in by_ref.values():
+            X = np.stack([mp.world_pos for mp in mps])
+            Xc = X @ D[:3, :3].T + D[:3, 3]
+            for mp, x in zip(mps, Xc):
+                mp.set_world_pos(x.astype(np.float32))
+        for i, kf in enumerate(kfs):
+            if not fixed[i]:
+                kf.set_pose(T_new[i])
         # normals/depths follow the moved geometry
         for mp in self.map.all_map_points():
             if not mp.is_bad:

@@ -122,6 +122,19 @@ def main():
 
     loop_events = []
     _orig_correct = system.loop_closer.correct_loop
+    _orig_fuse = system.loop_closer.fuse_loop_duplicates
+    _orig_gba = system.loop_closer.run_global_bundle_adjustment
+
+    def spy_fuse():
+        _orig_fuse()
+        print(f"ATE after prealign+fuse: {ate_now()}", flush=True)
+
+    def spy_gba(kf_id):
+        _orig_gba(kf_id)
+        print(f"ATE after loop GBA: {ate_now()}", flush=True)
+
+    system.loop_closer.fuse_loop_duplicates = spy_fuse
+    system.loop_closer.run_global_bundle_adjustment = spy_gba
 
     def spy_correct():
         b = ate_now()
@@ -178,6 +191,26 @@ def main():
         ate = float(a)
 
     print("wall_s:", round(wall, 1), "ate:", ate, flush=True)
+    # dump estimated vs gt trajectory + KF chain for offline drift analysis
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            p2 = os.path.join(td, "fr.txt")
+            system.save_trajectory_tum(p2)
+            t_fr, p_fr, _ = trajectory.read_tum(p2)
+        kfs = sorted(
+            (kf for kf in system.map.all_keyframes() if not kf.is_bad),
+            key=lambda k: k.id,
+        )
+        np.savez(
+            "/tmp/loop_diag_traj.npz",
+            t_est=t_fr, p_est=p_fr,
+            t_gt=np.array(gt_t), p_gt=np.stack(gt_p),
+            kf_ids=np.array([k.id for k in kfs]),
+            kf_pos=np.stack([k.get_camera_center() for k in kfs]),
+        )
+        print("traj dumped to /tmp/loop_diag_traj.npz", flush=True)
+    except Exception as e:
+        print("traj dump failed:", e)
     print("timeline:", "".join(timeline))
     print("n_keyframes:", system.map.n_keyframes(), "n_scans:", len(kf_db.scan_log))
     print(
