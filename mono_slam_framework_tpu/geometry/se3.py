@@ -31,14 +31,26 @@ def hat(w):
 
 
 def _sinc_coeffs(theta2):
-    """Taylor-safe (A, B, C) = (sin t/t, (1-cos t)/t^2, (1 - A)/t^2)."""
+    """Taylor-safe (A, B, C) = (sin t/t, (1-cos t)/t^2, (1 - A)/t^2).
+
+    The Taylor branch covers theta < 0.05 (not just ~1e-4): in f32 the
+    closed forms cancel catastrophically well before that — e.g.
+    1-cos(1.3e-4) evaluates to exactly 0.0 in f32 (spacing at 1.0 is
+    1.2e-7), which once produced B=0 -> A/(2B)=inf -> NaN translations in
+    log_se3 on a real loop graph. Second-order Taylor keeps |error| below
+    ~1e-9 at the 0.05 boundary, better than the f32 closed form there."""
     theta = jnp.sqrt(theta2)
-    small = theta2 < 1e-8
+    small = theta2 < 2.5e-3  # theta < 0.05
     # Guard theta for the large branch to avoid nan grads at 0.
     th = jnp.where(small, jnp.ones_like(theta), theta)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(th) / th)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(th)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    t2 = theta2
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0, jnp.sin(th) / th)
+    B = jnp.where(
+        small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0, (1.0 - jnp.cos(th)) / t2
+    )
+    C = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0, (1.0 - A) / t2
+    )
     return A, B, C
 
 
@@ -128,10 +140,18 @@ def log_se3(T):
     A, B, _ = _sinc_coeffs(theta2)
     W = hat(w)
     I = jnp.eye(3, dtype=T.dtype)
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    small = theta2 < 1e-8
+    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2. The closed form is a
+    # difference of nearly-equal terms (A/(2B) = 1 - theta^2/12 + ...), so
+    # in f32 it loses ALL significant digits below theta ~ 0.05 — Taylor
+    # there (see _sinc_coeffs' f32 rationale).
+    small = theta2 < 2.5e-3
     t2 = jnp.where(small, jnp.ones_like(theta2), theta2)
-    coef = jnp.where(small, 1.0 / 12.0, (1.0 - A / (2.0 * B)) / t2)
+    Bs = jnp.where(small, jnp.ones_like(B), B)
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
+        (1.0 - A / (2.0 * Bs)) / t2,
+    )
     Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
     v = jnp.einsum("...ij,...j->...i", Vinv, t)
     return jnp.concatenate([w, v], axis=-1)

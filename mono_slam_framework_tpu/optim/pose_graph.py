@@ -139,4 +139,18 @@ def optimize_pose_graph_np(
         jnp.asarray(T_pad), jnp.asarray(fx), jnp.asarray(ei), jnp.asarray(ej),
         jnp.asarray(Tm), jnp.asarray(ev), jnp.asarray(ew), iters=iters,
     )
-    return np.asarray(T_out)[:n]
+    out = np.asarray(T_out)[:n]
+    if not np.isfinite(out).all():
+        # never hand a non-finite correction back to the caller; keep the
+        # inputs for diagnosis (a degenerate graph must degrade to "no
+        # correction", not scramble the map)
+        try:
+            np.savez(
+                "/tmp/pose_graph_nonfinite.npz",
+                T=T_pad, fixed=fx, e_i=ei, e_j=ej, T_meas=Tm,
+                e_valid=ev, e_w=ew,
+            )
+        except OSError:
+            pass
+        return None
+    return out

@@ -201,6 +201,9 @@ class LoopClosing:
         T_new = optimize_pose_graph_np(
             np.stack(T_old), fixed, e_i, e_j, np.stack(T_meas), e_w
         )
+        if T_new is None:
+            self._log("Loop essential graph: non-finite solve; skipped")
+            return False
         self._log(
             f"Loop essential graph: {len(kfs)} nodes, {len(e_i)} edges"
         )
