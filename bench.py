@@ -175,25 +175,27 @@ def main():
 
     signal.signal(signal.SIGTERM, on_term)
 
+    # (name, fn, est_s): est_s is the measured WARM-cache cost of the
+    # regime through the relay; a regime only starts if the remaining
+    # budget covers its estimate, and a too-expensive regime is skipped
+    # INDIVIDUALLY so cheaper lower-priority regimes still run. Order is
+    # by evidence priority (VERDICT r4): quality (#2) > e2e kf/cam100
+    # (#4/#5) > server (#3) > loftr/matcher-A/B (#7) > multistream.
+    # quality runs BOTH loop-fuse arms off one trajectory (the fork twin
+    # re-corrects a snapshot at the loop event instead of re-driving a
+    # second ~700 s run).
     regimes = [
-        ("kernel", bench_kernel),
-        ("steady", bench_steady_device),
-        ("e2e", lambda: bench_end_to_end(slow=slow)),
-        # tracking quality (hard-world ATE + loop before/after, BOTH
-        # loop-fuse arms + the LoFTR matcher row) runs IN-PROCESS on the
-        # same backend as the perf regimes: ~50 ms/frame through the relay
-        # vs ~7 s/frame on this box's one-core XLA-CPU, which is what blew
-        # round 4's driver budget (VERDICT r4 #1/#2/#7). The fork arm
-        # reuses every executable the default arm loaded.
-        ("quality", bench_quality_default),
-        ("quality_fork", bench_quality_fork),
-        ("server", bench_server),
-        ("loftr", bench_loftr),
-        ("quality_loftr", bench_quality_loftr),
-        ("multistream", bench_multistream),
+        ("kernel", bench_kernel, 160),
+        ("steady", bench_steady_device, 150),
+        ("quality", bench_quality_both, 500),
+        ("e2e", lambda: bench_end_to_end(slow=slow), 420),
+        ("server", bench_server, 260),
+        ("loftr", bench_loftr, 380),
+        ("quality_loftr", bench_quality_loftr, 170),
+        ("multistream", bench_multistream, 90),
     ]
-    for name, fn in regimes:
-        if time.perf_counter() - t_start > budget_s:
+    for name, fn, est_s in regimes:
+        if time.perf_counter() - t_start + est_s > budget_s:
             skipped.append(name)
             continue
         r0 = time.perf_counter()
@@ -207,19 +209,14 @@ def main():
     snapshot(final=True)
 
 
-def bench_quality_default():
+def bench_quality_both():
+    """Hard-world tracking quality, BOTH loop-fuse arms off ONE trajectory:
+    the arms are identical up to the loop event, so the fork twin re-corrects
+    a geometry snapshot there (ate_loop_*_fork) instead of re-driving a
+    second full run (VERDICT r4 #1's budget burner)."""
     from mono_slam_framework_tpu.quality_bench import run_quality
 
-    return run_quality(force_cpu=False)
-
-
-def bench_quality_fork():
-    from mono_slam_framework_tpu.quality_bench import run_quality
-
-    return {
-        k + "_fork": v
-        for k, v in run_quality(force_cpu=False, fuse_duplicates=False).items()
-    }
+    return run_quality(force_cpu=False, both_arms=True)
 
 
 def bench_quality_loftr():

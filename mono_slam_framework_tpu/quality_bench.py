@@ -32,6 +32,7 @@ def run_quality(
     fuse_duplicates: bool | None = None,
     force_cpu: bool = True,
     dropout_at: int | None = None,
+    both_arms: bool = False,
 ):
     import jax
 
@@ -110,10 +111,50 @@ def run_quality(
     # spy the loop correction to measure ATE immediately before/after
     orig_correct = system.loop_closer.correct_loop
     loop_events: list = []
+    fork_events: list = []
     frame_counter = [0]
+
+    def run_fork_twin() -> float | None:
+        """Measure the reference fork's GBA-only CorrectLoop
+        (LoopClosing.cc:101-115, loopFuseDuplicates=False twin) on the SAME
+        map state the default arm is about to correct, then restore the
+        geometry. Both arms share one trajectory: everything up to the loop
+        event is identical by construction, so re-driving a second full
+        115-pose run for the fork twin (~700 s through the relay,
+        VERDICT r4 #1's budget burner) measures nothing extra."""
+        lc = system.loop_closer
+        snap_kf = [
+            (kf, kf.get_pose().copy())
+            for kf in system.map.all_keyframes()
+            if not kf.is_bad
+        ]
+        snap_mp = [
+            (mp, mp.world_pos.copy())
+            for mp in system.map.all_map_points()
+            if not mp.is_bad
+        ]
+        saved_fuse, saved_lm = lc.fuse_duplicates, lc.local_mapper
+        lc.fuse_duplicates = False  # fork GBA schedule (10 iters)
+        lc.local_mapper = None  # release() would drop queued KFs
+        try:
+            lc.current_kf.update_connections()
+            lc.run_global_bundle_adjustment(lc.current_kf.id)
+            after = ate_now()
+        finally:
+            lc.fuse_duplicates, lc.local_mapper = saved_fuse, saved_lm
+            for kf, T in snap_kf:
+                kf.set_pose(T)
+            for mp, X in snap_mp:
+                mp.set_world_pos(X)
+        return after
 
     def spy_correct():
         before = ate_now()
+        if both_arms and system.loop_closer.fuse_duplicates:
+            try:
+                fork_events.append((before, run_fork_twin()))
+            except Exception:
+                fork_events.append((before, None))
         orig_correct()
         loop_events.append(
             (
@@ -170,7 +211,7 @@ def run_quality(
     if loop_events:
         before, after, frame_idx, fused = loop_events[-1]
     rnd = lambda x: None if x is None else round(x, 4)
-    return {
+    out = {
         "ate_rmse_hardworld": rnd(ate_now()),
         "ate_loop_before": rnd(before),
         "ate_loop_after": rnd(after),
@@ -179,6 +220,11 @@ def run_quality(
         "loop_fused": fused,
         "quality_frames_ok_share": round(n_ok / max(len(poses), 1), 3),
     }
+    if both_arms and fork_events:
+        fb, fa = fork_events[-1]
+        out["ate_loop_before_fork"] = rnd(fb)
+        out["ate_loop_after_fork"] = rnd(fa)
+    return out
 
 
 def run_quality_loftr(n_poses: int | None = None, force_cpu: bool = True):
@@ -260,12 +306,12 @@ def main() -> None:
     preserves every completed arm (VERDICT r4 #1/#5: the silent-`{}`-on-
     timeout join burned round 4's quality evidence). Arms, in priority
     order:
-      1. shipped defaults (loopFuseDuplicates=True): ate_rmse_hardworld +
-         ate_loop_before/after — the default's loop closure must remove
-         drift (VERDICT r4 #2);
-      2. reference-fork twin (fuse off): *_fork fields — the measured no-op
-         being beaten (QUIRKS.md "loop fuse default");
-      3. LoFTR matcher row: ate_rmse_hardworld_loftr (VERDICT r4 #7).
+      1. shipped defaults (loopFuseDuplicates=True) with the reference-fork
+         twin measured off the SAME trajectory at the loop event
+         (both_arms): ate_rmse_hardworld + ate_loop_before/after (the
+         default's drift removal, VERDICT r4 #2) next to ate_loop_*_fork
+         (the measured no-op being beaten, QUIRKS.md "loop fuse default");
+      2. LoFTR matcher row: ate_rmse_hardworld_loftr (VERDICT r4 #7).
     A wall-clock deadline (QUALITY_DEADLINE_S, default 1200 s) is checked
     between arms; arms that would start past it are skipped."""
     import time
@@ -281,11 +327,7 @@ def main() -> None:
         print(json.dumps(out), flush=True)
 
     arms = [
-        (None, lambda: run_quality(n_poses=n_poses)),
-        (
-            "_fork",
-            lambda: run_quality(n_poses=n_poses, fuse_duplicates=False),
-        ),
+        (None, lambda: run_quality(n_poses=n_poses, both_arms=True)),
         ("_loftr", run_quality_loftr),
     ]
     for suffix, fn in arms:
@@ -298,11 +340,6 @@ def main() -> None:
             out[f"quality_error{suffix or ''}"] = repr(e)[:200]
             emit()
             continue
-        if suffix and suffix != "_loftr":
-            fields = {
-                (k + suffix if not k.endswith(suffix) else k): v
-                for k, v in fields.items()
-            }
         out.update(fields)
         emit()
     if "quality_skipped_arms" in out:

@@ -11,6 +11,8 @@ via their reference keyframe's pre/post-BA pose.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from mono_slam_framework_tpu.slam.device_io import run_global_ba
@@ -198,6 +200,17 @@ class LoopClosing:
         fixed = np.zeros(len(kfs), bool)
         fixed[im] = True  # gauge: the matched (anchored) side stays put
         fixed[index[kfs[0]]] = True
+        if os.environ.get("LOOP_GRAPH_DUMP"):
+            np.savez(
+                os.environ["LOOP_GRAPH_DUMP"],
+                T_old=np.stack(T_old), fixed=fixed,
+                e_i=np.asarray(e_i), e_j=np.asarray(e_j),
+                T_meas=np.stack(T_meas), e_w=np.asarray(e_w),
+                kf_ids=np.asarray([kf.id for kf in kfs]),
+                ic=ic, im=im, Tc_corr=Tc_corr,
+                new_pts=new_pts, old_pts=old_pts,
+                fit_s=s, fit_R=R, fit_t=t,
+            )
         T_new = optimize_pose_graph_np(
             np.stack(T_old), fixed, e_i, e_j, np.stack(T_meas), e_w
         )

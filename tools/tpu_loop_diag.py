@@ -20,6 +20,10 @@ def main():
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
+    if "--f32mm" in sys.argv:
+        # A/B: TPU matmuls default to bf16 passes; geometry/optimizer math
+        # through `@`/einsum silently loses mantissa vs the CPU backend
+        jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir", "/tmp/mono_slam_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
@@ -103,6 +107,8 @@ def main():
     timeline = []
     kf_by_frame = {}
     frame_rows = []  # (i, wall_ms, state, inliers, n_kf, n_mp)
+    track_centers: list = []  # per-frame camera center at track time
+    track_refs: list = []
 
     # spy the loop correction: ATE immediately before/after (quality_bench's
     # measurement), plus the correction's frame index
@@ -164,6 +170,16 @@ def main():
         st = system.tracker.state
         timeline.append(st.name[:2])
         kf_by_frame[i] = system.map.n_keyframes()
+        # tracked pose at TRACK TIME (vs the re-anchored export): separates
+        # tracking-branch flips from trajectory re-anchoring artifacts
+        cf = system.tracker.current_frame
+        track_centers.append(
+            cf.get_camera_center().copy()
+            if cf is not None and cf.Tcw is not None
+            else np.full(3, np.nan, np.float32)
+        )
+        ref = getattr(cf, "reference_kf", None) if cf is not None else None
+        track_refs.append(ref.id if ref is not None else -1)
         m = system.last_metrics or {}
         frame_rows.append(
             (i, fms, st.name[:2], m.get("inliers"), m.get("n_kf"),
@@ -207,6 +223,8 @@ def main():
             t_gt=np.array(gt_t), p_gt=np.stack(gt_p),
             kf_ids=np.array([k.id for k in kfs]),
             kf_pos=np.stack([k.get_camera_center() for k in kfs]),
+            track_centers=np.stack(track_centers),
+            track_refs=np.array(track_refs),
         )
         print("traj dumped to /tmp/loop_diag_traj.npz", flush=True)
     except Exception as e:
