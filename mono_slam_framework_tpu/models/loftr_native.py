@@ -74,13 +74,17 @@ def _conv(x, w, b=None, stride=1, pad=None):
     kh, kw = w.shape[2], w.shape[3]
     if pad is None:
         pad = (kh // 2, kw // 2)
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=((pad[0], pad[0]), (pad[1], pad[1])),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    with jax.default_matmul_precision("bfloat16"):
+        # learned-weight conv: bf16 MXU passes are the DNN fast path and
+        # well inside the model's tolerance; the package-level f32 default
+        # (see __init__) protects geometry math, not this backbone
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=((pad[0], pad[0]), (pad[1], pad[1])),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
     if b is not None:
         out = out + b[None, :, None, None]
     return out
@@ -145,14 +149,18 @@ def _layernorm(x, w, b):
 def encoder_layer(lp: dict, x: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     """One LoFTREncoderLayer (single-head linear attention), [B,L,C] each."""
     v_len = source.shape[1]
-    q = jax.nn.elu(x @ lp["wq"]) + 1.0
-    k = jax.nn.elu(source @ lp["wk"]) + 1.0
-    v = (source @ lp["wv"]) / v_len
-    kv = jnp.einsum("bld,blv->bdv", k, v)  # [B,C,C]
-    z = 1.0 / (jnp.einsum("bld,bd->bl", q, jnp.sum(k, axis=1)) + ATTN_EPS)
-    msg = jnp.einsum("bld,bdv->blv", q, kv) * z[..., None] * float(v_len)
-    msg = _layernorm(msg @ lp["merge"], lp["norm1_w"], lp["norm1_b"])
-    m = jax.nn.relu(jnp.concatenate([x, msg], axis=-1) @ lp["mlp0"]) @ lp["mlp1"]
+    with jax.default_matmul_precision("bfloat16"):  # learned-weight fast path
+        q = jax.nn.elu(x @ lp["wq"]) + 1.0
+        k = jax.nn.elu(source @ lp["wk"]) + 1.0
+        v = (source @ lp["wv"]) / v_len
+        kv = jnp.einsum("bld,blv->bdv", k, v)  # [B,C,C]
+        z = 1.0 / (jnp.einsum("bld,bd->bl", q, jnp.sum(k, axis=1)) + ATTN_EPS)
+        msg = jnp.einsum("bld,bdv->blv", q, kv) * z[..., None] * float(v_len)
+        msg = _layernorm(msg @ lp["merge"], lp["norm1_w"], lp["norm1_b"])
+        m = (
+            jax.nn.relu(jnp.concatenate([x, msg], axis=-1) @ lp["mlp0"])
+            @ lp["mlp1"]
+        )
     return x + _layernorm(m, lp["norm2_w"], lp["norm2_b"])
 
 
@@ -177,7 +185,8 @@ def confidence_from_features(params: dict, f0: jnp.ndarray, f1: jnp.ndarray) -> 
     """Pairwise transformer + dual-softmax head: [B,L,C] x2 -> [B,L,L]."""
     f0, f1 = coarse_transformer(params, f0, f1)
     scale = 1.0 / np.sqrt(float(C))
-    sim = jnp.einsum("blc,bsc->bls", f0 * scale, f1 * scale) / TEMPERATURE
+    with jax.default_matmul_precision("bfloat16"):  # learned-feature sim
+        sim = jnp.einsum("blc,bsc->bls", f0 * scale, f1 * scale) / TEMPERATURE
     return jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
 
 
@@ -272,7 +281,8 @@ def fine_refine(
     patches = patches / (
         jnp.linalg.norm(patches, axis=-1, keepdims=True) + 1e-6
     )
-    scores = jnp.einsum("kf,kwf->kw", d0, patches)  # [K,w*w] in [-1,1]
+    with jax.default_matmul_precision("bfloat16"):  # learned-feature corr
+        scores = jnp.einsum("kf,kwf->kw", d0, patches)  # [K,w*w] in [-1,1]
     w_soft = jax.nn.softmax(scores / 0.1, axis=-1)
     ox = jnp.sum(w_soft * dx[None, :].astype(jnp.float32), axis=-1)
     oy = jnp.sum(w_soft * dy[None, :].astype(jnp.float32), axis=-1)
