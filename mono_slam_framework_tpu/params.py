@@ -85,6 +85,20 @@ class SlamParameters:
     # ON by default (fastest host-in-the-loop mode).
     fusedOneStep: bool = True
 
+    # Freshness floor for the fused steady paths, as a share of
+    # max_features: when a one-step frame's FINAL local-map inlier count
+    # falls below share*max_features the frame is discarded and re-tracked
+    # through the reference host path, which rebuilds the local-KF window
+    # from scratch. The one-step window is refreshed from each frame's own
+    # tracked points, so when the camera turns into unmapped territory the
+    # stale window starves the very matches that would refresh it — measured
+    # on the rect-loop corner as a freeze-jump cycle the reference twin does
+    # not show (tools/tpu_axis_probe.py, round 5: one-step ate 0.104 vs
+    # unfused 0.047). Steady frames sit far above the floor (150-400
+    # inliers at 2000 features), so the fallback only fires on the rare
+    # degraded frame. 0 disables the gate.
+    fusedInlierFloorShare: float = 0.06
+
     # Background-compile upcoming pow2 shape buckets (bundle adjustment,
     # initializer, EPnP, triangulation) in a daemon thread so the first
     # keyframe event at a new bucket does not stall on a relay compile

@@ -30,17 +30,28 @@ class PlaneWorld:
         self.w, self.h, self.f = width, height, f
         self.cx, self.cy = width / 2.0, height / 2.0
         self.plane_z = plane_z
-        # Closer planes for world x > threshold break the planar two-view
+        # Closer planes past a world threshold break the planar two-view
         # degeneracy (a single plane admits the homography ambiguity family,
         # and a DOMINANT plane makes 8-point F estimation ill-conditioned).
-        # `second_plane` may be one (z, x_threshold) pair or a list of them,
-        # applied in order (each overrides for x > threshold).
+        # `second_plane` may be one (z, x_threshold) pair or a list of
+        # entries, applied in order (each overrides where it applies):
+        #   (z, th)        — plane z for world x > th
+        #   (z, th, "y")   — plane z for world y > th
+        #   (z, th, "-y")  — plane z for world y < th (likewise "-x")
+        # Axis-mixed entries matter for 2-D trajectories (the rect-loop
+        # quality world): with x-only structure, a leg moving along y sees a
+        # SINGLE fronto-parallel plane — monocular pose estimation against
+        # young two-observation points is ill-conditioned there and the leg
+        # collapses (tools/tpu_axis_probe.py corner arms, round 5).
         if second_plane is None:
             self.extra_planes = []
         elif isinstance(second_plane, tuple):
             self.extra_planes = [second_plane]
         else:
             self.extra_planes = list(second_plane)
+        self.extra_planes = [
+            (e[0], e[1], e[2] if len(e) > 2 else "x") for e in self.extra_planes
+        ]
         self.tex_scale = tex_scale
         rng = np.random.default_rng(seed)
         if texture == "smooth":
@@ -131,11 +142,18 @@ class PlaneWorld:
         t = (self.plane_z - Ow[2]) / dz
         px = Ow[0] + t * d_world[..., 0]
         py = Ow[1] + t * d_world[..., 1]
-        for z2, x_th in self.extra_planes:
+        for z2, th, ax in self.extra_planes:
             t2 = (z2 - Ow[2]) / dz
             px2 = Ow[0] + t2 * d_world[..., 0]
             py2 = Ow[1] + t2 * d_world[..., 1]
-            use2 = px2 > x_th  # nearer plane occupies world x > threshold
+            if ax == "x":
+                use2 = px2 > th
+            elif ax == "-x":
+                use2 = px2 < th
+            elif ax == "y":
+                use2 = py2 > th
+            else:  # "-y"
+                use2 = py2 < th
             t = np.where(use2, t2, t)
             px = np.where(use2, px2, px)
             py = np.where(use2, py2, py)
@@ -156,6 +174,23 @@ class PlaneWorld:
         # invalid (behind camera) -> mid gray
         img = np.where(t > 0, img, 128.0)
         return img.astype(np.float32)
+
+
+# Depth structure for the rect-loop quality world: boundaries along BOTH
+# axes so every leg of the 3.0 x 2.2 loop keeps at least one depth
+# discontinuity in view (viewport ~2.6 x 1.9 at z=2). With x-only structure
+# the +y legs see a single fronto-parallel plane and monocular tracking
+# collapses a few keyframes past the corner (far-point triangulations make
+# rotation explain flow; measured in tools/tpu_axis_probe.py, round 5). The
+# reference app's Webots scene is fully 3-D (worlds/slam.wbt), so 2-D-varying
+# depth is the faithful stand-in, not a concession.
+RECT_LOOP_PLANES = [
+    (2.3, -0.9, "x"),
+    (1.7, 0.3, "x"),
+    (2.2, 1.1, "y"),
+    (2.1, 2.2, "x"),
+    (1.8, 1.6, "y"),
+]
 
 
 def rect_loop_trajectory(lx: float, ly: float, step: float):

@@ -660,6 +660,22 @@ def _replay_steady(
         tracker._fused_chain = None
         return None  # too few raw matches -> host ref-KF path
 
+    # freshness gate (params.fusedInlierFloorShare): a degraded final
+    # inlier count means the one-frame-stale window no longer covers the
+    # view (fresh-territory turns) — discard and re-track through the host
+    # path, which rebuilds the window from scratch and self-heals the
+    # stale-window feedback loop
+    floor_share = getattr(tracker.params, "fusedInlierFloorShare", 0.0)
+    if floor_share > 0.0:
+        floor = max(
+            tracker.min_local_match_count,
+            int(floor_share * getattr(m, "max_features", 0)),
+        )
+        if int(np.count_nonzero(inlier2)) < floor:
+            _count(tracker, "miss_quality")
+            tracker._fused_chain = None
+            return None
+
     def mp_of_row(r: int):
         return ctx["mps"][r] if r < nrows else ext[r - rcap]
 

@@ -59,7 +59,7 @@ def run_axis(
     system.toggle_initialization_allowed()
     system.set_minimum_keyframes(0)
 
-    gt_t, gt_p, centers, states = [], [], [], []
+    gt_t, gt_p, centers, states, inliers = [], [], [], [], []
     t = 0.0
     for i, T in enumerate(poses):
         system.track_monocular(world.render(T), t)
@@ -75,6 +75,8 @@ def run_axis(
             else np.full(3, np.nan, np.float32)
         )
         states.append(system.tracker.state.name[:2])
+        m = system.last_metrics or {}
+        inliers.append((m.get("inliers"), m.get("n_mp")))
 
     import tempfile
 
@@ -87,7 +89,7 @@ def run_axis(
         a, n = trajectory.ate_rmse(t_fr, p_fr, np.array(gt_t), np.stack(gt_p))
         ate = round(float(a), 4)
     _lm_mod.run_local_ba = _orig_ba
-    return ate, centers, states, system.map.n_keyframes()
+    return ate, centers, states, inliers, system.map.n_keyframes()
 
 
 def main():
@@ -109,8 +111,16 @@ def main():
         elif a.isdigit():
             n_frames = int(a)
 
+    from mono_slam_framework_tpu.sim import RECT_LOOP_PLANES
+
     world_kw = dict(
-        plane_z=2.0, second_plane=[(2.3, -0.9), (1.7, 0.3)], texture="smooth"
+        plane_z=2.0,
+        second_plane=(
+            [(2.3, -0.9), (1.7, 0.3)]
+            if "--flatworld" in sys.argv
+            else RECT_LOOP_PLANES
+        ),
+        texture="smooth",
     )
     print("backend:", jax.default_backend(), "features:", maxf, flush=True)
     arms = [
@@ -119,12 +129,20 @@ def main():
         ("corner-twoprog", dict(corner_at=15, params_extra={"fusedOneStep": False})),
         ("corner-unfused", dict(corner_at=15, params_extra={"fusedTracking": False})),
     ]
+    if "--gate" in sys.argv:
+        # upstream ORB-SLAM2's REAL triangulation parallax gate
+        # (cosParallaxRays < 0.9998) vs the fork's no-op 1.1
+        arms = [
+            ("corner-gate", dict(corner_at=15, params_extra={"minimumParallax": 0.9998})),
+            ("+x-gate", dict(params_extra={"minimumParallax": 0.9998})),
+            ("diag-gate", dict(params_extra={"minimumParallax": 0.9998})),
+        ]
     if "--straight" in sys.argv:
         arms = [("+x", {}), ("diag", dict(corner_at=None))]
     for name, kw in arms:
-        axis = (0.7071, 0.7071, 0) if name == "diag" else (1, 0, 0)
+        axis = (0.7071, 0.7071, 0) if name.startswith("diag") else (1, 0, 0)
         t0 = time.perf_counter()
-        ate, centers, states, n_kf = run_axis(
+        ate, centers, states, inliers, n_kf = run_axis(
             axis, n_frames, maxf, world_kw, **kw
         )
         wall = time.perf_counter() - t0
@@ -133,8 +151,12 @@ def main():
             f"axis {name}: ate={ate} n_kf={n_kf} wall={wall:.0f}s "
             f"states={''.join(states)}"
         )
-        for i in range(0, len(c), 4):
-            print(f"   f{i}: {np.round(c[i], 3)}")
+        for i in range(1, len(c)):
+            step = np.linalg.norm(c[i] - c[i - 1]) if i else 0.0
+            print(
+                f"   f{i}: {np.round(c[i], 3)} step={step:.3f} "
+                f"inl={inliers[i][0]} n_mp={inliers[i][1]}"
+            )
 
 
 if __name__ == "__main__":

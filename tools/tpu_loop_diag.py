@@ -31,7 +31,11 @@ def main():
     from mono_slam_framework_tpu.io import trajectory
     from mono_slam_framework_tpu.matchers import OrbFeatureMatcher
     from mono_slam_framework_tpu.params import SlamParameters
-    from mono_slam_framework_tpu.sim import PlaneWorld, rect_loop_trajectory
+    from mono_slam_framework_tpu.sim import (
+        RECT_LOOP_PLANES,
+        PlaneWorld,
+        rect_loop_trajectory,
+    )
     from mono_slam_framework_tpu.slam import KeyFrameMatchDatabase, System
     from mono_slam_framework_tpu.slam.frame import reset_frame_ids
     from mono_slam_framework_tpu.slam.map_model import reset_map_ids
@@ -48,7 +52,7 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     world = PlaneWorld(
-        plane_z=2.0, second_plane=[(2.3, -0.9), (1.7, 0.3)], texture="smooth"
+        plane_z=2.0, second_plane=RECT_LOOP_PLANES, texture="smooth"
     )
     poses = rect_loop_trajectory(3.0, 2.2, 0.09)
     if n_poses:
