@@ -44,9 +44,12 @@ def main():
     n_poses = None
     dropout = "--dropout" in sys.argv
     maxf = 600
+    step = 0.09
     for a in sys.argv[1:]:
         if a.startswith("--features="):
             maxf = int(a.split("=")[1])
+        elif a.startswith("--step="):
+            step = float(a.split("=")[1])
         elif a.isdigit():
             n_poses = int(a)
 
@@ -54,7 +57,8 @@ def main():
     world = PlaneWorld(
         plane_z=2.0, second_plane=RECT_LOOP_PLANES, texture="smooth"
     )
-    poses = rect_loop_trajectory(3.0, 2.2, 0.09)
+    poses = rect_loop_trajectory(3.0, 2.2, step)
+    print("step:", step, "poses:", len(poses), flush=True)
     if n_poses:
         poses = poses[:n_poses]
 
