@@ -26,6 +26,15 @@ import json
 import os
 import tempfile
 
+# Rect-loop trajectory step (world units/frame; optical flow ~250*step px
+# at the z~2 planes). Round-5 A/B on the real chip (tools/tpu_loop_diag.py
+# --step=...): 0.09 (~22 px/frame) starves mapping on the never-mapped
+# return strip (LOST on leg 3, reloc steals the loop); 0.06 tracks clean
+# but the final descent latches onto the old map covisibly and DetectLoop
+# CORRECTLY never fires; 0.075 keeps tracking alive AND yields the genuine
+# loop (fired with 25 fused pairs, correction measured 1.44 -> 1.11).
+QUALITY_STEP = float(os.environ.get("QUALITY_STEP", "0.075"))
+
 
 def run_quality(
     n_poses: int | None = None,
@@ -64,7 +73,7 @@ def run_quality(
     world = PlaneWorld(
         plane_z=2.0, second_plane=RECT_LOOP_PLANES, texture="smooth"
     )
-    poses = rect_loop_trajectory(3.0, 2.2, 0.09)
+    poses = rect_loop_trajectory(3.0, 2.2, QUALITY_STEP)
     if n_poses is not None:
         poses = poses[:n_poses]
 
@@ -264,7 +273,7 @@ def run_quality_loftr(n_poses: int | None = None, force_cpu: bool = True):
     world = PlaneWorld(
         plane_z=2.0, second_plane=RECT_LOOP_PLANES, texture="smooth"
     )
-    poses = rect_loop_trajectory(3.0, 2.2, 0.09)
+    poses = rect_loop_trajectory(3.0, 2.2, QUALITY_STEP)
     if n_poses is None:
         n_poses = int(os.environ.get("QUALITY_LOFTR_POSES", "40"))
     poses = poses[:n_poses]

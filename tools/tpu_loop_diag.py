@@ -243,6 +243,19 @@ def main():
         "loop_detected:", system.loop_closer.last_loop_kf_id > 0,
         "fused:", system.loop_closer.last_fuse_count,
     )
+    # end-of-run loop-connectivity: do the final (revisit) keyframes share
+    # covisibility with the start keyframes? If yes, tracking latched onto
+    # the old map and DetectLoop CORRECTLY never fires (QUIRKS round-3).
+    kfs_sorted = sorted(
+        (kf for kf in system.map.all_keyframes() if not kf.is_bad),
+        key=lambda k: k.id,
+    )
+    early_ids = {k.id for k in kfs_sorted[:8]}
+    for kf in kfs_sorted[-5:]:
+        conn = sorted(
+            c.id for c in kf.get_connected_keyframes() if c.id in early_ids
+        )
+        print(f"kf{kf.id} early-connections: {conn}")
     # KF creation cadence: frame index -> #KFs steps
     steps = []
     prev = 0
