@@ -185,14 +185,14 @@ def main():
     # re-corrects a snapshot at the loop event instead of re-driving a
     # second ~700 s run).
     regimes = [
-        ("kernel", bench_kernel, 160),
-        ("steady", bench_steady_device, 150),
-        ("quality", bench_quality_both, 500),
-        ("e2e", lambda: bench_end_to_end(slow=slow), 420),
-        ("server", bench_server, 260),
-        ("loftr", bench_loftr, 380),
-        ("quality_loftr", bench_quality_loftr, 170),
+        ("kernel", bench_kernel, 170),
+        ("steady", bench_steady_device, 100),
+        ("quality", bench_quality_both, 560),
+        ("e2e", lambda: bench_end_to_end(slow=slow), 280),
+        ("server", bench_server, 250),
         ("multistream", bench_multistream, 90),
+        ("quality_loftr", bench_quality_loftr, 150),
+        ("loftr", bench_loftr, 380),
     ]
     for name, fn, est_s in regimes:
         if time.perf_counter() - t_start + est_s > budget_s:
